@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end Foley generation throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: audio-seconds generated per second per chip for a 5 s / 48 kHz clip at 50 Euler steps
+with CFG (the driver-defined north star; BASELINE.json). vs_baseline compares against the
+north-star target rate of 2.5 audio-sec/sec (5 s clip in <= 2 s wall on v5p-8).
+
+The full XXL model (~5.1 B params) is run with random weights in bf16 — identical compute to
+a checkpointed run. Falls back to the XL config, then TINY, if the chip can't hold XXL.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from foley_tpu.api.nodes import HunyuanModelLoader
+    from foley_tpu.configs import get_config
+    from foley_tpu.models import dac_vae
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    cfg = get_config(config_name)
+    foley_model = HunyuanModelLoader.init_random(config_name, "bf16", seed=0)
+    dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
+    bundle = ModelBundle(
+        mmdit_params=foley_model["params"],
+        dac_params=dac_params,
+        pipeline_cfg=cfg,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    ltxt = 77
+    text = jnp.zeros((1, ltxt, cfg.model.condition_dim), jnp.float32)
+
+    def once(seed):
+        return generate_audio(
+            bundle, text, text, duration_s,
+            guidance_scale=4.5, num_inference_steps=steps,
+            sampler="euler", batch_size=batch_size, seed=seed,
+        )
+
+    once(0)  # compile + warm
+    t0 = time.perf_counter()
+    n_iters = 3
+    for i in range(n_iters):
+        result = once(i + 1)
+    elapsed = (time.perf_counter() - t0) / n_iters
+    return elapsed, result
+
+
+def main():
+    duration_s, steps = 5.0, 50
+    for config_name in ("xxl", "xl", "tiny"):
+        try:
+            elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1)
+            audio_sec_per_sec = duration_s / elapsed
+            target_rate = 2.5  # 5 s clip in <= 2 s (BASELINE.json north star)
+            print(json.dumps({
+                "metric": f"audio_sec_per_sec_per_chip_{config_name}_5s_50step_euler_cfg",
+                "value": round(audio_sec_per_sec, 4),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(audio_sec_per_sec / target_rate, 4),
+            }))
+            return 0
+        except Exception as e:
+            print(f"bench {config_name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip", "value": 0.0,
+        "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,360 @@
+"""Node-equivalent public API — the reference's six ComfyUI nodes, TPU-native.
+
+Same public surface as reference ``nodes.py:57-683`` (INPUT_TYPES widget schemas, RETURN_TYPES,
+FUNCTION, CATEGORY, NODE_CLASS_MAPPINGS) so a ComfyUI front-end — or any host graph runtime —
+can drive this framework the same way it drives the reference. The classes also work
+standalone (no ComfyUI import): AUDIO values are plain dicts
+``{"waveform": np.ndarray [B, C, T], "sample_rate": int}``.
+
+Mapping of reference mechanisms -> TPU-native:
+- precision/quantization knobs -> param storage dtype + fp8 pytree quantization;
+- TorchCompile node -> CompileConfig (AOT jit warm-up over declared shape buckets);
+- BlockSwap node -> host-memory offload policy (``foley_tpu/parallel/offload.py``);
+- force_offload -> phase ping-pong via ``offload_params``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foley_tpu.configs import XXL, PipelineConfig, get_config
+from foley_tpu.core.dtypes import resolve_dtype
+from foley_tpu.core.params import cast_params, param_bytes
+from foley_tpu.io.convert import (
+    convert_dac_state_dict,
+    convert_mmdit_state_dict,
+    detect_ckpt_fp8,
+    detect_ckpt_major_precision,
+    load_torch_state_dict,
+)
+from foley_tpu.io.quantize import quantize_fp8
+from foley_tpu.models import mmdit
+from foley_tpu.pipeline.generate import ModelBundle, generate_audio, select_audio_from_batch
+from foley_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+SOLVERS = ["euler", "heun-2", "midpoint-2", "kutta-4"]
+
+
+class HunyuanModelLoader:
+    """Loads the main MMDiT checkpoint (reference ``nodes.py:57-151``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "model_name": ("STRING", {"default": "hunyuanvideo_foley.safetensors"}),
+                "precision": (["auto", "bf16", "fp16", "fp32"], {"default": "auto"}),
+                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2"], {"default": "none"}),
+            },
+            "optional": {"config": (["xxl", "xl", "tiny"], {"default": "xxl"})},
+        }
+
+    RETURN_TYPES = ("FOLEY_MODEL",)
+    FUNCTION = "load_model"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def load_model(self, model_name: str, precision: str = "auto",
+                   quantization: str = "none", config: str = "xxl"):
+        cfg = get_config(config)
+        sd = load_torch_state_dict(model_name)
+        ckpt_fp8 = detect_ckpt_fp8(sd)
+        major = detect_ckpt_major_precision(sd)
+        if precision == "auto":
+            precision = major
+        dtype = resolve_dtype(precision)
+        params = convert_mmdit_state_dict(sd, cfg.model)
+        params = cast_params(params, dtype)
+        if quantization != "none":
+            qmode = quantization
+            if qmode == "auto":
+                qmode = ckpt_fp8 or "fp8_e4m3fn"
+            params, counts, saved = quantize_fp8(params, qmode)
+            logger.info(
+                f"fp8 wrap: {counts['quantized']} weights quantized, "
+                f"{saved / 2**30:.2f} GiB saved ({qmode})"
+            )
+        logger.info(f"MMDiT loaded: {param_bytes(params) / 2**30:.2f} GiB resident ({precision})")
+        return ({"params": params, "cfg": cfg, "dtype": dtype},)
+
+    @staticmethod
+    def init_random(config: str = "tiny", precision: str = "bf16", seed: int = 0):
+        """Build a randomly-initialized model bundle (tests/benchmarks, no checkpoint)."""
+        cfg = get_config(config)
+        dtype = resolve_dtype(precision)
+        params = mmdit.init(jax.random.PRNGKey(seed), cfg.model, dtype=dtype)
+        return {"params": params, "cfg": cfg, "dtype": dtype}
+
+
+class HunyuanDependenciesLoader:
+    """Loads DAC-VAE + encoder checkpoints (reference ``nodes.py:156-206``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "vae_model": ("STRING", {"default": "vae_128d_48k.safetensors"}),
+                "synchformer_model": ("STRING", {"default": "synchformer_state_dict.safetensors"}),
+                "precision": (["fp32", "fp16", "bf16"], {"default": "fp16"}),
+            }
+        }
+
+    RETURN_TYPES = ("FOLEY_DEPS",)
+    FUNCTION = "load_dependencies"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def load_dependencies(self, vae_model: str, synchformer_model: Optional[str] = None,
+                          precision: str = "fp16"):
+        from foley_tpu.configs import DACConfig
+
+        dac_cfg = DACConfig()
+        sd = load_torch_state_dict(vae_model)
+        dac_params = convert_dac_state_dict(sd, dac_cfg)
+        deps: Dict[str, Any] = {"dac_params": dac_params, "dac_cfg": dac_cfg}
+        if synchformer_model:
+            try:
+                from foley_tpu.models import synchformer as sync_mod
+
+                deps["synchformer"] = sync_mod.load(synchformer_model)
+            except (ImportError, FileNotFoundError) as e:
+                logger.warning(f"Synchformer unavailable ({e}); V2A sync features disabled")
+        return (deps,)
+
+
+class HunyuanCompileConfig:
+    """AOT warm-up config — the torch.compile node's TPU analog (reference ``nodes.py:433-607``).
+
+    Declares the (duration, batch, text-bucket) shape buckets to pre-compile so first
+    generation is not paused by XLA compilation; compile-cache misses are logged.
+    """
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "durations": ("STRING", {"default": "5"}),
+                "batch_sizes": ("STRING", {"default": "1"}),
+                "text_buckets": ("STRING", {"default": "77"}),
+            }
+        }
+
+    RETURN_TYPES = ("COMPILE_CFG",)
+    FUNCTION = "make_config"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def make_config(self, durations: str = "5", batch_sizes: str = "1", text_buckets: str = "77"):
+        parse = lambda s: tuple(int(float(x)) for x in str(s).split(",") if str(x).strip())
+        return ({
+            "durations": parse(durations),
+            "batch_sizes": parse(batch_sizes),
+            "text_buckets": parse(text_buckets),
+        },)
+
+
+class HunyuanBlockSwap:
+    """Host-offload knobs (reference ``nodes.py:609-631``).
+
+    blocks_to_swap maps to the pinned-host placement of the scanned block stacks
+    (``foley_tpu/parallel/offload.py``); prefetch is handled by XLA's scan pipelining, so the
+    reference's prefetch_blocks/non_blocking knobs are accepted and logged for compatibility.
+    """
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "blocks_to_swap": ("INT", {"default": 30, "min": 0, "max": 57}),
+                "use_non_blocking": ("BOOLEAN", {"default": True}),
+                "prefetch_blocks": ("INT", {"default": 0, "min": 0, "max": 57}),
+                "block_swap_debug": ("BOOLEAN", {"default": False}),
+            }
+        }
+
+    RETURN_TYPES = ("BLOCKSWAPARGS",)
+    FUNCTION = "set_args"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def set_args(self, blocks_to_swap=30, use_non_blocking=True, prefetch_blocks=0,
+                 block_swap_debug=False):
+        return ({
+            "blocks_to_swap": blocks_to_swap,
+            "use_non_blocking": use_non_blocking,
+            "prefetch_blocks": prefetch_blocks,
+            "block_swap_debug": block_swap_debug,
+        },)
+
+
+class HunyuanFoleySampler:
+    """The main generation node (reference ``nodes.py:211-427``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "foley_model": ("FOLEY_MODEL",),
+                "dependencies": ("FOLEY_DEPS",),
+                "frame_rate": ("INT", {"default": 16, "min": 1, "max": 120}),
+                "duration": ("FLOAT", {"default": 5.0, "min": 1.0, "max": 60.0}),
+                "prompt": ("STRING", {"default": ""}),
+                "negative_prompt": ("STRING", {"default": "noisy, harsh"}),
+                "cfg_scale": ("FLOAT", {"default": 4.5, "min": 1.0, "max": 10.0}),
+                "steps": ("INT", {"default": 50, "min": 10, "max": 100}),
+                "sampler": (SOLVERS, {"default": "euler"}),
+                "batch_size": ("INT", {"default": 1, "min": 1, "max": 6}),
+                "seed": ("INT", {"default": 0, "min": 0, "max": 2**63 - 1}),
+                "force_offload": ("BOOLEAN", {"default": True}),
+            },
+            "optional": {
+                "image": ("IMAGE",),
+                "torch_compile_cfg": ("COMPILE_CFG",),
+                "block_swap_args": ("BLOCKSWAPARGS",),
+            },
+        }
+
+    RETURN_TYPES = ("AUDIO", "AUDIO")
+    RETURN_NAMES = ("audio_first", "audio_batch")
+    FUNCTION = "generate_audio"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def generate_audio(
+        self,
+        foley_model: Dict,
+        dependencies: Dict,
+        frame_rate: int = 16,
+        duration: float = 5.0,
+        prompt: str = "",
+        negative_prompt: str = "noisy, harsh",
+        cfg_scale: float = 4.5,
+        steps: int = 50,
+        sampler: str = "euler",
+        batch_size: int = 1,
+        seed: int = 0,
+        force_offload: bool = True,
+        image: Optional[np.ndarray] = None,
+        torch_compile_cfg: Optional[Dict] = None,
+        block_swap_args: Optional[Dict] = None,
+    ):
+        params = foley_model["params"]
+        cfg: PipelineConfig = foley_model["cfg"]
+
+        if block_swap_args and block_swap_args.get("blocks_to_swap", 0) > 0:
+            from foley_tpu.parallel.offload import offload_block_suffix
+
+            params = offload_block_suffix(params, block_swap_args["blocks_to_swap"])
+
+        # --- phase 1: features ---
+        text_feat, uncond_text_feat = self._encode_text(
+            dependencies, prompt, negative_prompt, cfg
+        )
+        clip_feat = sync_feat = None
+        if image is not None:
+            clip_feat, sync_feat = self._encode_video(dependencies, image, frame_rate, duration, cfg)
+
+        bundle = ModelBundle(
+            mmdit_params=params,
+            dac_params=dependencies["dac_params"],
+            pipeline_cfg=cfg,
+            encoders=dependencies,
+            compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+        )
+
+        # --- phase 2: denoise + decode ---
+        result = generate_audio(
+            bundle,
+            text_feat,
+            uncond_text_feat,
+            duration,
+            clip_feat=clip_feat,
+            sync_feat=sync_feat,
+            guidance_scale=cfg_scale,
+            num_inference_steps=steps,
+            sampler=sampler,
+            batch_size=batch_size,
+            seed=seed,
+        )
+        sr = result.sample_rate
+        return (
+            {"waveform": result.audio_first, "sample_rate": sr},
+            {"waveform": result.audio_batch, "sample_rate": sr},
+        )
+
+    # -- feature helpers -----------------------------------------------------------
+    @staticmethod
+    def _encode_text(deps: Dict, prompt: str, negative_prompt: str, cfg: PipelineConfig):
+        if "clap" in deps:
+            from foley_tpu.models import clap as clap_mod
+
+            feats = clap_mod.encode_text(deps["clap"], [negative_prompt, prompt])
+            return feats[1:2], feats[0:1]
+        # No text encoder loaded: zero features at the configured text length (T2A smoke path).
+        ltxt = cfg.model.text_length
+        z = jnp.zeros((1, ltxt, cfg.model.condition_dim), jnp.float32)
+        logger.warning("CLAP unavailable; using zero text features")
+        return z, z
+
+    @staticmethod
+    def _encode_video(deps: Dict, image: np.ndarray, frame_rate: int, duration: float,
+                      cfg: PipelineConfig):
+        from foley_tpu.pipeline.features import resample_frames, sync_segments
+
+        frames = np.asarray(image)  # [T, H, W, C] in [0, 1]
+        f8 = resample_frames(frames, frame_rate, duration, cfg.siglip2_fps)
+        f25 = resample_frames(frames, frame_rate, duration, cfg.synchformer_fps)
+        clip_feat = sync_feat = None
+        if "siglip2" in deps:
+            from foley_tpu.models import siglip2 as siglip_mod
+
+            clip_feat = siglip_mod.encode_frames(deps["siglip2"], f8)
+        if "synchformer" in deps:
+            from foley_tpu.models import synchformer as sync_mod
+
+            segs = sync_segments(f25)
+            sync_feat = sync_mod.encode_segments(deps["synchformer"], segs)
+        return clip_feat, sync_feat
+
+
+class SelectAudioFromBatch:
+    """Pick one AUDIO from a batch, clamping OOB (reference ``nodes.py:636-663``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "audio_batch": ("AUDIO",),
+                "index": ("INT", {"default": 0, "min": 0, "max": 5}),
+            }
+        }
+
+    RETURN_TYPES = ("AUDIO",)
+    FUNCTION = "select_audio"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def select_audio(self, audio_batch: Dict, index: int = 0):
+        wf = np.asarray(audio_batch["waveform"])
+        return ({"waveform": select_audio_from_batch(wf, index),
+                 "sample_rate": audio_batch["sample_rate"]},)
+
+
+NODE_CLASS_MAPPINGS = {
+    "HunyuanModelLoader": HunyuanModelLoader,
+    "HunyuanDependenciesLoader": HunyuanDependenciesLoader,
+    "HunyuanFoleySampler": HunyuanFoleySampler,
+    "HunyuanFoleyTorchCompile": HunyuanCompileConfig,
+    "HunyuanBlockSwap": HunyuanBlockSwap,
+    "SelectAudioFromBatch": SelectAudioFromBatch,
+}
+
+NODE_DISPLAY_NAME_MAPPINGS = {
+    "HunyuanModelLoader": "Hunyuan Foley Model Loader (TPU)",
+    "HunyuanDependenciesLoader": "Hunyuan Foley Dependencies Loader (TPU)",
+    "HunyuanFoleySampler": "Hunyuan Foley Sampler (TPU)",
+    "HunyuanFoleyTorchCompile": "Hunyuan Foley Compile Warmup (TPU)",
+    "HunyuanBlockSwap": "Hunyuan Foley Block Swap / Host Offload (TPU)",
+    "SelectAudioFromBatch": "Select Audio From Batch",
+}

@@ -1,0 +1,137 @@
+"""Self-contained CLI (the reference's ``cli.py`` shells out to scripts that don't ship —
+``cli.py:94-138``; this one actually runs the pipeline).
+
+Examples:
+    # Text-to-audio with a checkpoint
+    python -m foley_tpu.cli --model_path ckpts/ --single_prompt "glass shattering" \
+        --duration 5 --num_inference_steps 50 --guidance_scale 4.5 --output out.wav
+
+    # Smoke test with random weights (no checkpoint; BASELINE config 1 shape)
+    python -m foley_tpu.cli --random_init tiny --single_prompt "test" --duration 1 \
+        --num_inference_steps 10 --precision fp32 --output /tmp/t2a.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("foley-tpu", description=__doc__)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="Directory with hunyuanvideo_foley / vae / synchformer checkpoints")
+    p.add_argument("--config", type=str, default="xxl", choices=["xxl", "xl", "tiny"])
+    p.add_argument("--random_init", type=str, default=None, metavar="CONFIG",
+                   help="Skip checkpoints; random-init the given config (smoke tests)")
+    p.add_argument("--single_prompt", type=str, default="")
+    p.add_argument("--neg_prompt", type=str, default="noisy, harsh")
+    p.add_argument("--single_video", type=str, default=None, help="Video file for V2A")
+    p.add_argument("--csv_path", type=str, default=None, help="Batch CSV: video_path,prompt")
+    p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--guidance_scale", type=float, default=4.5)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="euler",
+                   choices=["euler", "heun-2", "midpoint-2", "kutta-4"])
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
+    p.add_argument("--quantization", type=str, default="none",
+                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2"])
+    p.add_argument("--output", type=str, default="output.wav")
+    p.add_argument("--merge_video", action="store_true",
+                   help="Mux generated audio onto --single_video with ffmpeg")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.api.nodes import HunyuanDependenciesLoader, HunyuanFoleySampler, HunyuanModelLoader
+    from foley_tpu.io.audio import write_wav
+    from foley_tpu.utils.logging import get_logger
+
+    logger = get_logger()
+
+    try:
+        if args.random_init:
+            foley_model = HunyuanModelLoader.init_random(args.random_init, args.precision, args.seed)
+            from foley_tpu.configs import get_config
+            from foley_tpu.models import dac_vae
+            import jax
+
+            cfg = get_config(args.random_init)
+            dependencies = {
+                "dac_params": dac_vae.init(jax.random.PRNGKey(args.seed + 1), cfg.dac),
+                "dac_cfg": cfg.dac,
+            }
+        else:
+            if not args.model_path:
+                print("error: provide --model_path or --random_init", file=sys.stderr)
+                return 2
+            mp = args.model_path
+            loader = HunyuanModelLoader()
+            (foley_model,) = loader.load_model(
+                os.path.join(mp, "hunyuanvideo_foley.safetensors"),
+                precision="auto" if args.precision == "bf16" else args.precision,
+                quantization=args.quantization,
+                config=args.config,
+            )
+            deps_loader = HunyuanDependenciesLoader()
+            (dependencies,) = deps_loader.load_dependencies(
+                os.path.join(mp, "vae_128d_48k.safetensors"),
+                os.path.join(mp, "synchformer_state_dict.safetensors"),
+            )
+
+        image = None
+        if args.single_video:
+            from foley_tpu.pipeline.video import read_video_frames
+
+            image, fps = read_video_frames(args.single_video)
+            logger.info(f"read {image.shape[0]} frames @ {fps} fps")
+
+        sampler_node = HunyuanFoleySampler()
+        t0 = time.perf_counter()
+        audio_first, audio_batch = sampler_node.generate_audio(
+            foley_model,
+            dependencies,
+            duration=args.duration,
+            prompt=args.single_prompt,
+            negative_prompt=args.neg_prompt,
+            cfg_scale=args.guidance_scale,
+            steps=args.num_inference_steps,
+            sampler=args.sampler,
+            batch_size=args.batch_size,
+            seed=args.seed,
+            image=image,
+        )
+        dt = time.perf_counter() - t0
+        wf = np.asarray(audio_first["waveform"])[0]  # [C, T]
+        write_wav(args.output, wf, audio_first["sample_rate"])
+        logger.info(
+            f"wrote {args.output}: {wf.shape[-1] / audio_first['sample_rate']:.2f}s audio "
+            f"in {dt:.2f}s wall"
+        )
+        if args.merge_video and args.single_video:
+            from foley_tpu.io.audio import merge_audio_video
+
+            out_video = os.path.splitext(args.output)[0] + ".mp4"
+            merge_audio_video(args.single_video, args.output, out_video)
+            logger.info(f"muxed {out_video}")
+        return 0
+    except ImportError as e:
+        print(f"missing dependency: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

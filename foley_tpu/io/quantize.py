@@ -1,0 +1,55 @@
+"""fp8 weight-only quantization of parameter pytrees.
+
+Mirrors the reference's ``_wrap_fp8_inplace`` policy (``utils.py:296-485``): weights are stored
+in fp8 (e4m3fn or e5m2) and upcast to the activation dtype at use (every op in
+``foley_tpu/ops/nn.py`` does this automatically); biases stay high precision; a deny-list keeps
+precision-sensitive layers unquantized. The deny substrings are translated from the reference's
+torch module names (``utils.py:298-310``) to our param paths.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from foley_tpu.core.dtypes import resolve_dtype
+from foley_tpu.core.params import flatten_params, unflatten_params
+
+# Reference deny-list (utils.py:298-310), adapted to pytree paths: biases are separate 'b'
+# leaves here (never quantized); norm weights live under *_norm/.../weight.
+FP8_DENY_SUBSTRINGS = (
+    "norm",             # all LayerNorm/RMSNorm/qk-norm weights
+    "final_layer",      # output projection stays high precision
+    "visual_proj",      # early visual projection
+    "audio_cross_q",    # cross-attn queries/projections (audio & v_cond)
+    "v_cond_cross_q",
+    "audio_cross_proj",
+    "v_cond_cross_proj",
+    "empty_clip_feat",  # learned condition embeddings
+    "empty_sync_feat",
+    "sync_pos_emb",
+)
+
+
+def quantize_fp8(
+    params: Dict,
+    quantization: str = "fp8_e4m3fn",
+    deny_substrings: Tuple[str, ...] = FP8_DENY_SUBSTRINGS,
+) -> Tuple[Dict, Dict[str, int], int]:
+    """Quantize weight leaves ('w') to fp8 storage. Returns (params, counts, bytes_saved)."""
+    qdtype = resolve_dtype(quantization)
+    flat = flatten_params(params)
+    out, counts, saved = {}, {"quantized": 0, "skipped": 0}, 0
+    for path, leaf in flat.items():
+        is_weight = path.endswith(".w") or path.endswith(".weight")
+        denied = any(s in path for s in deny_substrings) or not is_weight
+        # only quantize float weights; b/bias leaves are not '.w' so they're skipped
+        if denied or not jnp.issubdtype(leaf.dtype, jnp.floating) or "norm" in path:
+            out[path] = leaf
+            counts["skipped"] += 1
+            continue
+        saved += int(leaf.size) * (leaf.dtype.itemsize - 1)
+        out[path] = leaf.astype(qdtype)
+        counts["quantized"] += 1
+    return unflatten_params(out), counts, saved

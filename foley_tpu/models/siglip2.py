@@ -1,0 +1,213 @@
+"""SigLIP2 vision tower (google/siglip2-base-patch16-512) — JAX port.
+
+Role in the pipeline: 768-d per-frame visual semantics at 8 fps from 512x512 frames
+(reference ``nodes.py:199``, ``feature_utils.py:64-78``: HF ``get_image_features`` =
+vision tower -> post-LN -> attention-pooling MAP head -> pooled [768]).
+
+Architecture: pre-LN ViT (patch16), no class token, learned position embeddings, MAP pooling
+head (probe token cross-attends all patch tokens, then LN + residual MLP; pooled = token 0).
+Both checkpoint flavors convert: fixed-resolution SigLIP (conv2d patch embedding
+[h, 3, P, P]) and naflex SigLIP2 (linear patch embedding [h, 3*P*P]) — detected by weight
+rank. Frames are processed batched (B*T on the MXU), replacing the reference's per-frame
+torchvision loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foley_tpu.ops.nn import apply_dense
+from foley_tpu.ops.norms import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class SiglipVisionConfig:
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    image_size: int = 512
+    patch_size: int = 16
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @classmethod
+    def tiny(cls) -> "SiglipVisionConfig":
+        return cls(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                   num_attention_heads=2, image_size=32, patch_size=8)
+
+
+# ---------------------------------------------------------------------------------
+# Convert
+# ---------------------------------------------------------------------------------
+
+def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: SiglipVisionConfig,
+                          prefix: str = "vision_model.") -> Dict:
+    def lin(name):
+        return {"w": jnp.asarray(np.ascontiguousarray(sd[prefix + name + ".weight"].T)),
+                "b": jnp.asarray(sd[prefix + name + ".bias"])}
+
+    def ln(name):
+        return {"weight": jnp.asarray(sd[prefix + name + ".weight"]),
+                "bias": jnp.asarray(sd[prefix + name + ".bias"])}
+
+    pe = sd[prefix + "embeddings.patch_embedding.weight"]
+    if pe.ndim == 4:  # conv2d [h, C, P, P] -> flattened linear [C*P*P, h] over (C, Ph, Pw)
+        h = pe.shape[0]
+        patch_w = jnp.asarray(np.ascontiguousarray(pe.reshape(h, -1).T))
+    else:  # naflex linear [h, C*P*P]
+        patch_w = jnp.asarray(np.ascontiguousarray(pe.T))
+    params: Dict = {
+        "patch_embedding": {"w": patch_w,
+                            "b": jnp.asarray(sd[prefix + "embeddings.patch_embedding.bias"])},
+        "position_embedding": jnp.asarray(sd[prefix + "embeddings.position_embedding.weight"]),
+        "post_layernorm": ln("post_layernorm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"encoder.layers.{i}."
+        params["layers"].append({
+            "ln1": ln(b + "layer_norm1"),
+            "q": lin(b + "self_attn.q_proj"),
+            "k": lin(b + "self_attn.k_proj"),
+            "v": lin(b + "self_attn.v_proj"),
+            "out": lin(b + "self_attn.out_proj"),
+            "ln2": ln(b + "layer_norm2"),
+            "fc1": lin(b + "mlp.fc1"),
+            "fc2": lin(b + "mlp.fc2"),
+        })
+    # MAP pooling head (torch nn.MultiheadAttention packs qkv in in_proj_weight [3h, h])
+    if prefix + "head.probe" in sd:
+        h = cfg.hidden_size
+        in_w = sd[prefix + "head.attention.in_proj_weight"]
+        in_b = sd[prefix + "head.attention.in_proj_bias"]
+        params["head"] = {
+            "probe": jnp.asarray(sd[prefix + "head.probe"]),
+            "q": {"w": jnp.asarray(np.ascontiguousarray(in_w[:h].T)), "b": jnp.asarray(in_b[:h])},
+            "k": {"w": jnp.asarray(np.ascontiguousarray(in_w[h:2 * h].T)), "b": jnp.asarray(in_b[h:2 * h])},
+            "v": {"w": jnp.asarray(np.ascontiguousarray(in_w[2 * h:].T)), "b": jnp.asarray(in_b[2 * h:])},
+            "out": lin("head.attention.out_proj"),
+            "ln": ln("head.layernorm"),
+            "fc1": lin("head.mlp.fc1"),
+            "fc2": lin("head.mlp.fc2"),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------------
+
+def _ln(p, x, eps):
+    return layer_norm(x, p["weight"], p["bias"], eps=eps)
+
+
+def _mha(q, k, v, nh):
+    b, lq, h = q.shape
+    hd = h // nh
+    q = q.reshape(b, lq, nh, hd)
+    k = k.reshape(b, k.shape[1], nh, hd)
+    v = v.reshape(b, v.shape[1], nh, hd)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
+                        precision=prec) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=prec).reshape(b, lq, h)
+
+
+def _patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, (H/P)*(W/P), C*P*P] with (C, Ph, Pw) feature order (torch conv)."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))  # [B, gh, gw, C, Ph, Pw]
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def apply(params: Dict, images: jnp.ndarray, cfg: SiglipVisionConfig,
+          pooled: bool = True) -> jnp.ndarray:
+    """images: [B, H, W, C] normalized ((x-0.5)/0.5). Returns pooled [B, h] (get_image_features
+    semantics) or token sequence [B, N, h]."""
+    x = apply_dense(params["patch_embedding"], _patchify(images, cfg.patch_size))
+    x = x + params["position_embedding"][None].astype(x.dtype)
+    eps = cfg.layer_norm_eps
+    nh = cfg.num_attention_heads
+    for layer in params["layers"]:
+        r = x
+        xn = _ln(layer["ln1"], x, eps)
+        attn = _mha(apply_dense(layer["q"], xn), apply_dense(layer["k"], xn),
+                    apply_dense(layer["v"], xn), nh)
+        x = r + apply_dense(layer["out"], attn)
+        r = x
+        xn = _ln(layer["ln2"], x, eps)
+        x = r + apply_dense(layer["fc2"], jax.nn.gelu(apply_dense(layer["fc1"], xn), approximate=True))
+    x = _ln(params["post_layernorm"], x, eps)
+    if not pooled:
+        return x
+    head = params["head"]
+    b = x.shape[0]
+    probe = jnp.broadcast_to(head["probe"].astype(x.dtype), (b,) + head["probe"].shape[1:])
+    attn = _mha(apply_dense(head["q"], probe), apply_dense(head["k"], x),
+                apply_dense(head["v"], x), nh)
+    attn = apply_dense(head["out"], attn)
+    hidden = _ln(head["ln"], attn, eps)
+    out = attn + apply_dense(head["fc2"], jax.nn.gelu(apply_dense(head["fc1"], hidden), approximate=True))
+    return out[:, 0]
+
+
+# ---------------------------------------------------------------------------------
+# Frame preprocessing + encode (reference nodes.py:184-196, feature_utils.py:64-78)
+# ---------------------------------------------------------------------------------
+
+def preprocess_frames(frames: np.ndarray, size: int = 512) -> np.ndarray:
+    """[T, H, W, C] float [0,1] -> [T, size, size, C] normalized (x-0.5)/0.5.
+
+    Bicubic+antialias resize via PIL (parity with torchvision v2 Resize(bicubic, antialias),
+    which wraps the same PIL filter for uint8 inputs)."""
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], size, size, frames.shape[-1]), np.float32)
+    for i, f in enumerate(frames):
+        img = Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
+        img = img.resize((size, size), Image.BICUBIC)
+        out[i] = np.asarray(img, np.float32) / 255.0
+    return (out - 0.5) / 0.5
+
+
+class Siglip2Encoder:
+    def __init__(self, params: Dict, cfg: SiglipVisionConfig):
+        self.params = params
+        self.cfg = cfg
+        self._apply = jax.jit(apply, static_argnames=("cfg", "pooled"))
+
+    def encode(self, frames: np.ndarray) -> jnp.ndarray:
+        """[T, H, W, C] float [0,1] frames -> [1, T, hidden] sequence of pooled features."""
+        pixels = jnp.asarray(preprocess_frames(frames, self.cfg.image_size))
+        feats = self._apply(self.params, pixels, self.cfg, pooled=True)  # [T, h]
+        return feats[None]
+
+
+def encode_frames(encoder: Siglip2Encoder, frames: np.ndarray) -> jnp.ndarray:
+    return encoder.encode(frames)
+
+
+def load(model_path: str, cfg: Optional[SiglipVisionConfig] = None) -> Siglip2Encoder:
+    from foley_tpu.io.convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(model_path)
+    cfg = cfg or SiglipVisionConfig()
+    prefix = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    return Siglip2Encoder(convert_hf_state_dict(sd, cfg, prefix=prefix), cfg)

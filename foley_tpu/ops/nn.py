@@ -1,0 +1,192 @@
+"""Dense / conv primitives with fp8 upcast-on-use, plus initializers.
+
+Weight layout conventions (chosen TPU-first; the checkpoint converter in
+``foley_tpu/io/convert.py`` permutes from torch layouts):
+- dense:            [in, out]            (torch nn.Linear stores [out, in])
+- conv1d:           [K, in, out]         (torch nn.Conv1d stores [out, in, K])
+- conv_transpose1d: [K, in, out]         (torch stores [in, out, K])
+
+All sequence convs run channel-last ([B, T, C], dimension_numbers NWC/WIO/NWC) — the natural
+layout for the TPU vector unit and for fusing with the surrounding matmuls. The reference's
+``ChannelLastConv1d`` permutes to channels-first for cuDNN and back (``mlp_layers.py:104-110``);
+here channel-last IS the native layout and no transposes exist.
+
+fp8: weights may be stored as ``float8_e4m3fn``/``float8_e5m2`` leaves (weight-only
+quantization, reference ``utils.py:296-485``); every op upcasts to the activation dtype at use.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _match(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast weight storage dtype (possibly fp8/fp32) to the activation dtype."""
+    return w if w.dtype == x.dtype else w.astype(x.dtype)
+
+
+def _precision(x: jnp.ndarray):
+    """fp32 inputs get true-fp32 contractions (Precision.HIGHEST — 3-pass bf16 on the MXU);
+    bf16/fp16 inputs use the native fast path. Without this, XLA's default precision does
+    single-pass bf16 even for fp32 operands, breaking the fp32 parity islands."""
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x [..., in] @ w [in, out] (+ b [out])."""
+    out = jnp.einsum(
+        "...i,io->...o", x, _match(w, x),
+        preferred_element_type=x.dtype, precision=_precision(x),
+    )
+    if b is not None:
+        out = out + _match(b, x)
+    return out
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Channel-last 1-D convolution. x [B, T, Cin], w [K, Cin/groups, Cout] -> [B, T', Cout].
+
+    Matches torch ``F.conv1d`` (cross-correlation) numerics with symmetric integer padding.
+    """
+    out = lax.conv_general_dilated(
+        x,
+        _match(w, x),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        precision=_precision(x),
+    )
+    if b is not None:
+        out = out + _match(b, x)
+    return out
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Channel-last transposed 1-D convolution with exact torch semantics.
+
+    x [B, T, Cin], w [K, Cin, Cout] -> [B, (T-1)*stride - 2*padding + dilation*(K-1)
+    + output_padding + 1, Cout].
+
+    Implemented as the standard equivalence ``conv_transpose(x, w) = conv(dilate(x, s),
+    flip(w))``: the input is zero-stuffed with ``lax.pad`` interior padding (plus edge padding
+    ``dilation*(K-1) - padding``, + output_padding on the right), then correlated with the
+    spatially-flipped kernel by a plain stride-1 conv. Explicit padding is used instead of the
+    conv's ``lhs_dilation`` because XLA miscompiles lhs_dilation for some (stride, pad)
+    combinations (observed at stride=3/pad=2/output_padding=1 — the DAC decoder's 4th stage —
+    on the axon TPU backend: output shifted by one from index 1);
+    a separate pad op also fuses cleanly and keeps the conv itself a dense MXU-tileable op.
+    This is the geometry the DAC decoder's upsampling stack uses (reference ``dac.py:98-117``:
+    k=2s, padding=ceil(s/2), output_padding=s%2).
+    """
+    k = w.shape[0]
+    pad = dilation * (k - 1) - padding
+    if pad < 0:
+        raise ValueError(f"Unsupported negative effective pad: k={k}, padding={padding}")
+    x_dil = lax.pad(
+        x,
+        jnp.zeros((), x.dtype),
+        [(0, 0, 0), (pad, pad + output_padding, stride - 1), (0, 0, 0)],
+    )
+    out = lax.conv_general_dilated(
+        x_dil,
+        _match(w[::-1], x),
+        window_strides=(1,),
+        padding=[(0, 0)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_precision(x),
+    )
+    if b is not None:
+        out = out + _match(b, x)
+    return out
+
+
+# ---------------------------------------------------------------------------------
+# Weight-norm folding
+# ---------------------------------------------------------------------------------
+
+def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray, dim: int = 0) -> jnp.ndarray:
+    """Fold torch ``weight_norm`` parametrization into a plain weight: w = g * v / ||v||.
+
+    The norm is computed over all axes except ``dim`` (torch default dim=0), matching
+    ``torch.nn.utils.parametrizations.weight_norm`` as used by the DAC codec's WNConv layers
+    (reference ``dac_vae/nn/layers.py:9-15``). Folding happens once at load time so the hot
+    decode path runs plain convs.
+    """
+    axes = tuple(i for i in range(v.ndim) if i != dim)
+    norm = jnp.sqrt(jnp.sum(jnp.square(v.astype(jnp.float32)), axis=axes, keepdims=True))
+    return (g.astype(jnp.float32) * v.astype(jnp.float32) / norm).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------------
+# Initializers (mirroring the reference where initialization is load-bearing)
+# ---------------------------------------------------------------------------------
+
+def init_dense(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32,
+               scheme: str = "torch") -> dict:
+    """Dense params. ``torch`` scheme = Kaiming-uniform fan_in (nn.Linear default);
+    ``zeros`` = zero-init (adaLN modulations / final layers); ``xavier_uniform`` for
+    patch embedding (reference ``embed_layers.py:37``); ``normal02`` for timestep MLP."""
+    wkey, bkey = jax.random.split(key)
+    if scheme == "zeros":
+        w = jnp.zeros((in_dim, out_dim), dtype)
+    elif scheme == "xavier_uniform":
+        limit = math.sqrt(6.0 / (in_dim + out_dim))
+        w = jax.random.uniform(wkey, (in_dim, out_dim), dtype, -limit, limit)
+    elif scheme == "normal02":
+        w = 0.02 * jax.random.normal(wkey, (in_dim, out_dim), dtype)
+    else:  # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+        limit = 1.0 / math.sqrt(in_dim)
+        w = jax.random.uniform(wkey, (in_dim, out_dim), dtype, -limit, limit)
+    params = {"w": w}
+    if bias:
+        if scheme in ("zeros", "xavier_uniform"):
+            b = jnp.zeros((out_dim,), dtype)
+        else:
+            limit = 1.0 / math.sqrt(in_dim)
+            b = jax.random.uniform(bkey, (out_dim,), dtype, -limit, limit)
+        params["b"] = b
+    return params
+
+
+def init_conv1d(key, in_dim: int, out_dim: int, kernel_size: int, bias: bool = True,
+                dtype=jnp.float32, groups: int = 1) -> dict:
+    """Conv1d params [K, in/groups, out]; torch default Kaiming-uniform fan_in."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = (in_dim // groups) * kernel_size
+    limit = 1.0 / math.sqrt(fan_in)
+    params = {"w": jax.random.uniform(wkey, (kernel_size, in_dim // groups, out_dim), dtype, -limit, limit)}
+    if bias:
+        params["b"] = jax.random.uniform(bkey, (out_dim,), dtype, -limit, limit)
+    return params
+
+
+def apply_dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return dense(x, params["w"], params.get("b"))
+
+
+def apply_conv1d(params: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return conv1d(x, params["w"], params.get("b"), **kw)

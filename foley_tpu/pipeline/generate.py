@@ -1,0 +1,142 @@
+"""Two-phase generation orchestration — the Sampler-node equivalent.
+
+Mirrors ``HunyuanFoleySampler.generate_audio`` (reference ``nodes.py:211-427``):
+phase 1 extracts conditioning features (SigLIP2/Synchformer/CLAP or T2A empty sequences),
+phase 2 runs the CFG denoise loop and DAC decode, returning two AUDIO outputs
+(first-of-batch and full batch) at 48 kHz.
+
+TPU-first: the reference's ping-pong GPU residency dance (encoders on, denoiser off, swap)
+is replaced by XLA memory management plus optional host offload of encoder params between
+phases (``foley_tpu/parallel/offload.py``); phase 2 is a single jitted program per
+(duration, batch, text-bucket) shape bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foley_tpu.configs import PipelineConfig
+from foley_tpu.models import dac_vae
+from foley_tpu.pipeline.features import (
+    pick_text_bucket,
+    prepare_cfg_features,
+    t2a_features,
+)
+from foley_tpu.sampling.denoise import DenoiseFeatures, denoise_latents, prepare_latents
+from foley_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+class ModelBundle(NamedTuple):
+    """All loaded model state for generation."""
+
+    mmdit_params: Dict
+    dac_params: Dict
+    pipeline_cfg: PipelineConfig
+    encoders: Optional[Dict] = None  # {"clap": ..., "siglip2": ..., "synchformer": ...}
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Mirror of the sampler node's two AUDIO outputs (``nodes.py:417-427``)."""
+
+    audio_first: np.ndarray   # [1, C, T]
+    audio_batch: np.ndarray   # [B, C, T]
+    sample_rate: int
+    latents: Optional[np.ndarray] = None
+    timings: Optional[Dict[str, float]] = None
+
+
+_decode_jit = jax.jit(dac_vae.decode, static_argnames=("cfg",))
+
+
+def generate_audio(
+    bundle: ModelBundle,
+    text_feat: jnp.ndarray,
+    uncond_text_feat: jnp.ndarray,
+    duration_s: float,
+    *,
+    clip_feat: Optional[jnp.ndarray] = None,
+    sync_feat: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 4.5,
+    num_inference_steps: int = 50,
+    sampler: str = "euler",
+    batch_size: int = 1,
+    seed: int = 0,
+    attn_impl: str = "xla",
+    text_bucket: Optional[int] = None,
+    return_latents: bool = False,
+) -> GenerationResult:
+    """Generate Foley audio from prepared text features (+ optional visual features).
+
+    T2A (no video): ``clip_feat``/``sync_feat`` default to the model's learned empty
+    sequences with duration-derived lengths (``nodes.py:322-338``).
+    """
+    cfg = bundle.pipeline_cfg
+    t0 = time.perf_counter()
+
+    if clip_feat is None or sync_feat is None:
+        clip_feat, sync_feat = t2a_features(bundle.mmdit_params, cfg, duration_s, batch_size=1)
+
+    use_cfg = guidance_scale > 1.0
+    features = prepare_cfg_features(
+        bundle.mmdit_params,
+        text_feat,
+        uncond_text_feat,
+        clip_feat,
+        sync_feat,
+        batch_size=batch_size,
+        use_cfg=use_cfg,
+        text_bucket=text_bucket or pick_text_bucket(int(text_feat.shape[1])),
+    )
+
+    latent_len = cfg.latent_length(duration_s)
+    key = jax.random.PRNGKey(seed)
+    latents = prepare_latents(key, batch_size, latent_len, cfg.model.audio_vae_latent_dim)
+
+    t1 = time.perf_counter()
+    final_latents = denoise_latents(
+        bundle.mmdit_params,
+        latents,
+        features,
+        jnp.float32(guidance_scale),
+        cfg=cfg.model,
+        diffusion=cfg.diffusion,
+        num_steps=num_inference_steps,
+        solver=sampler,
+        use_cfg=use_cfg,
+        attn_impl=attn_impl,
+        compute_dtype=bundle.compute_dtype,
+    )
+
+    audio = _decode_jit(bundle.dac_params, final_latents, cfg.dac)  # [B, samples, 1] fp32
+    audio = jax.block_until_ready(audio)
+    t2 = time.perf_counter()
+
+    # Trim by *samples* (the reference's channel-dim slice at utils.py:257 is a no-op bug;
+    # see SURVEY.md Appendix B).
+    n_samples = int(duration_s * cfg.dac.sample_rate)
+    audio_np = np.asarray(audio)[:, :n_samples, 0]  # [B, T]
+    audio_np = audio_np[:, None, :]  # [B, C=1, T] AUDIO layout
+
+    return GenerationResult(
+        audio_first=audio_np[:1],
+        audio_batch=audio_np,
+        sample_rate=cfg.dac.sample_rate,
+        latents=np.asarray(final_latents) if return_latents else None,
+        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1},
+    )
+
+
+def select_audio_from_batch(audio_batch: np.ndarray, index: int) -> np.ndarray:
+    """Pick one waveform from an AUDIO batch, clamping OOB (reference ``nodes.py:636-663``)."""
+    index = max(0, min(index, audio_batch.shape[0] - 1))
+    return audio_batch[index : index + 1]

@@ -1,0 +1,116 @@
+"""End-to-end jitted denoise loop: CFG-batched MMDiT evals under one ``lax.scan``.
+
+Reference behavior (``utils.py:125-258`` ``denoise_process_with_generator``):
+- initial latents [B, T=duration*50, 128] from the seeded generator;
+- CFG pairs built once outside the loop: ``cat([uncond, cond])`` (uncond is row 0);
+- per step: ``latent_input = cat([latents]*2)``, model eval in the compute dtype,
+  ``v = u + s*(c - u)``, scheduler step in fp32;
+- after the loop: DAC decode in fp32, trim to ``duration * sample_rate`` samples.
+
+TPU-first: the whole loop is one ``jax.lax.scan`` inside one ``jit`` — no host round-trips
+between steps, solver state carried explicitly, timestep broadcast traced. Shapes are static
+per (duration, batch, text-bucket), matching the reference's compile-signature bucketing
+(``nodes.py:497-568``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from foley_tpu.configs import DiffusionConfig, MMDiTConfig
+from foley_tpu.models import mmdit
+from foley_tpu.sampling.flow_match import (
+    get_sigmas,
+    get_timesteps,
+    solver_init,
+    solver_step,
+)
+
+
+class DenoiseFeatures(NamedTuple):
+    """Condition tensors, already CFG-stacked to leading dim 2B (or B when guidance<=1)."""
+
+    cond: jnp.ndarray       # [2B, L_text, D_text]
+    clip_feat: jnp.ndarray  # [2B, L_clip, D_clip]
+    sync_feat: jnp.ndarray  # [2B, S*8, D_sync]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
+    ),
+)
+def denoise_latents(
+    params: Dict,
+    latents: jnp.ndarray,
+    features: DenoiseFeatures,
+    guidance_scale: jnp.ndarray,
+    *,
+    cfg: MMDiTConfig,
+    diffusion: DiffusionConfig,
+    num_steps: int,
+    solver: str = "euler",
+    use_cfg: bool = True,
+    attn_impl: str = "xla",
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
+
+    ``guidance_scale`` is traced (no recompile when the user moves the CFG slider);
+    ``use_cfg`` (guidance_scale > 1, controls the batching structure) is static.
+    """
+    sigmas = get_sigmas(
+        num_steps,
+        shift=diffusion.sample_flow_shift,
+        reverse=diffusion.flow_reverse,
+        use_flux_shift=diffusion.use_flux_shift,
+        flux_base_shift=diffusion.flux_base_shift,
+        flux_max_shift=diffusion.flux_max_shift,
+        n_tokens=latents.shape[1] if diffusion.use_flux_shift else None,
+    )
+    timesteps = get_timesteps(sigmas, diffusion.num_train_timesteps)
+
+    cond = features.cond.astype(compute_dtype)
+    clip_feat = features.clip_feat.astype(compute_dtype)
+    sync_feat = features.sync_feat.astype(compute_dtype)
+    g = guidance_scale.astype(jnp.float32)
+
+    def step_fn(carry, t):
+        lat, state = carry  # lat: fp32
+        latent_input = jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
+        latent_input = latent_input.astype(compute_dtype)
+        t_expand = jnp.broadcast_to(t, (latent_input.shape[0],))
+        v = mmdit.apply(
+            params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
+            attn_impl=attn_impl,
+        ).astype(jnp.float32)
+        if use_cfg:
+            v_uncond, v_cond = jnp.split(v, 2, axis=0)
+            v = v_uncond + g * (v_cond - v_uncond)
+        lat, state = solver_step(solver, state, v, lat, sigmas)
+        return (lat, state), None
+
+    init = (latents.astype(jnp.float32), solver_init(solver, latents.shape))
+    (final_latents, _), _ = jax.lax.scan(step_fn, init, timesteps)
+    return final_latents
+
+
+def prepare_latents(
+    key: jax.Array,
+    batch_size: int,
+    latent_length: int,
+    latent_dim: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Seeded standard-normal initial latents [B, T, C].
+
+    Equivalent role to the reference's ``randn_tensor(generator)`` (``utils.py:114-121``);
+    noise bits necessarily differ from torch's Philox stream — parity is validated at the
+    spectral-correlation level (BASELINE.json), not bitwise.
+    """
+    return jax.random.normal(key, (batch_size, latent_length, latent_dim), dtype)

@@ -1,0 +1,269 @@
+"""IO tests: checkpoint conversion (torch layouts -> pytree), the single-block qkv
+(H D K) permutation, fp8 quantization policy, WAV writing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from foley_tpu.configs import TINY
+from foley_tpu.core.params import flatten_params
+from foley_tpu.io.audio import write_wav
+from foley_tpu.io.convert import (
+    _hdk_to_khd,
+    convert_dac_state_dict,
+    convert_mmdit_state_dict,
+    detect_ckpt_fp8,
+    detect_ckpt_major_precision,
+)
+from foley_tpu.io.quantize import quantize_fp8
+from foley_tpu.models import dac_vae, mmdit
+from foley_tpu.ops.nn import dense
+
+CFG = TINY.model
+
+
+def test_hdk_to_khd_permutation_semantics():
+    """Converted fused-qkv weights must reproduce torch's (H D K) split semantics
+    (reference hifi_foley.py:362: rearrange 'B L (H D K) -> B H L D K')."""
+    torch.manual_seed(0)
+    H, D = CFG.num_heads, CFG.head_dim
+    h = H * D
+    W = torch.randn(3 * h, h)  # torch Linear weight [out, in]
+    b = torch.randn(3 * h)
+    x = torch.randn(2, 5, h)
+    qkv = torch.nn.functional.linear(x, W, b)  # [2, 5, 3h]
+    # torch semantics: out dim is (H, D, K)-interleaved
+    ref = qkv.reshape(2, 5, H, D, 3)
+    q_t, k_t, v_t = ref[..., 0], ref[..., 1], ref[..., 2]  # [2, 5, H, D]
+
+    w_j = jnp.asarray(_hdk_to_khd(np.ascontiguousarray(W.numpy().T), H, D))
+    b_j = jnp.asarray(_hdk_to_khd(b.numpy(), H, D))
+    out = dense(jnp.asarray(x.numpy()), w_j, b_j)
+    q_j, k_j, v_j = (u.reshape(2, 5, H, D) for u in jnp.split(out, 3, axis=-1))
+    np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_j), k_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-5)
+
+
+def _synthetic_mmdit_sd(cfg):
+    """Build a reference-keyed state dict for the tiny config (names from
+    hifi_foley.py:392-527 module attributes)."""
+    g = torch.Generator().manual_seed(0)
+    h, hd, nh = cfg.hidden_size, cfg.head_dim, cfg.num_heads
+    sd = {}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = torch.randn(o, i, generator=g) * 0.02
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.02
+
+    def conv(name, i, o, k, bias=True):
+        sd[f"{name}.weight"] = torch.randn(o, i, k, generator=g) * 0.02
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.02
+
+    conv("audio_embedder.proj", cfg.audio_vae_latent_dim, h, cfg.patch_size)
+    lin("visual_proj.w1", cfg.clip_dim, h, bias=False)
+    lin("visual_proj.w2", h, h, bias=False)
+    lin("visual_proj.w3", cfg.clip_dim, h, bias=False)
+    lin("cond_in.linear_1", cfg.condition_dim, h)
+    lin("cond_in.linear_2", h, h)
+    lin("time_in.mlp.0", 256, h)
+    lin("time_in.mlp.2", h, h)
+    lin("final_layer.linear", h, cfg.patch_size * cfg.audio_vae_latent_dim)
+    lin("final_layer.adaLN_modulation.1", h, 2 * h)
+    sd["empty_clip_feat"] = torch.zeros(1, cfg.clip_dim)
+    sd["empty_sync_feat"] = torch.zeros(1, cfg.sync_feat_dim)
+    lin("sync_in.0", cfg.sync_feat_dim, h)
+    sync_hidden = mmdit._conv_mlp_hidden(h * 4, cfg.conv_mlp_multiple_of)
+    conv("sync_in.2.w1", h, sync_hidden, cfg.sync_in_ksz, bias=False)
+    conv("sync_in.2.w2", sync_hidden, h, cfg.sync_in_ksz, bias=False)
+    conv("sync_in.2.w3", h, sync_hidden, cfg.sync_in_ksz, bias=False)
+    sd["sync_pos_emb"] = torch.randn(1, 1, 8, cfg.sync_feat_dim, generator=g) * 0.02
+
+    for i in range(cfg.depth_triple_blocks):
+        p = f"triple_blocks.{i}"
+        lin(f"{p}.audio_mod.linear", h, 9 * h)
+        lin(f"{p}.v_cond_mod.linear", h, 9 * h)
+        lin(f"{p}.audio_self_attn_qkv", h, 3 * h)
+        lin(f"{p}.audio_self_proj", h, h)
+        lin(f"{p}.v_cond_attn_qkv", h, 3 * h)
+        lin(f"{p}.v_cond_self_proj", h, h)
+        lin(f"{p}.audio_cross_q", h, h)
+        lin(f"{p}.v_cond_cross_q", h, h)
+        lin(f"{p}.text_cross_kv", h, 2 * h)
+        lin(f"{p}.audio_cross_proj", h, h)
+        lin(f"{p}.v_cond_cross_proj", h, h)
+        for n in ("audio_self_q_norm", "audio_self_k_norm", "v_cond_attn_q_norm",
+                  "v_cond_attn_k_norm", "audio_cross_q_norm", "v_cond_cross_q_norm",
+                  "text_cross_k_norm"):
+            sd[f"{p}.{n}.weight"] = torch.ones(hd)
+        lin(f"{p}.audio_mlp.fc1", h, cfg.mlp_hidden_dim)
+        lin(f"{p}.audio_mlp.fc2", cfg.mlp_hidden_dim, h)
+        lin(f"{p}.v_cond_mlp.fc1", h, cfg.mlp_hidden_dim)
+        lin(f"{p}.v_cond_mlp.fc2", cfg.mlp_hidden_dim, h)
+
+    for i in range(cfg.depth_single_blocks):
+        p = f"single_blocks.{i}"
+        lin(f"{p}.modulation.linear", h, 6 * h)
+        lin(f"{p}.linear_qkv", h, 3 * h)
+        sd[f"{p}.q_norm.weight"] = torch.ones(hd)
+        sd[f"{p}.k_norm.weight"] = torch.ones(hd)
+        conv(f"{p}.linear1", h, h, 3)
+        conv(f"{p}.linear2.w1", h, cfg.conv_mlp_hidden_dim, 3, bias=False)
+        conv(f"{p}.linear2.w2", cfg.conv_mlp_hidden_dim, h, 3, bias=False)
+        conv(f"{p}.linear2.w3", h, cfg.conv_mlp_hidden_dim, 3, bias=False)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def test_convert_mmdit_and_forward():
+    sd = _synthetic_mmdit_sd(CFG)
+    params = convert_mmdit_state_dict(sd, CFG, strict=True)
+    # structure matches random init
+    ref = mmdit.init(jax.random.PRNGKey(0), CFG)
+    flat_c, flat_r = flatten_params(params), flatten_params(ref)
+    assert set(flat_c) == set(flat_r)
+    for k in flat_r:
+        assert flat_c[k].shape == flat_r[k].shape, k
+    # and the converted model runs
+    rng = np.random.default_rng(0)
+    out = mmdit.apply(
+        params,
+        jnp.asarray(rng.normal(size=(1, 50, CFG.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([500.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 12, CFG.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 16, CFG.sync_feat_dim)).astype(np.float32)),
+        CFG,
+    )
+    assert out.shape == (1, 50, CFG.audio_vae_latent_dim)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _wn_conv_sd(prefix, conv, sd):
+    """Old-style weight-norm keys from a plain torch conv."""
+    import torch.nn.utils.parametrizations as P
+
+    wn = P.weight_norm(conv)
+    sd[f"{prefix}.weight_g"] = wn.parametrizations.weight.original0.detach().numpy()
+    sd[f"{prefix}.weight_v"] = wn.parametrizations.weight.original1.detach().numpy()
+    if conv.bias is not None:
+        sd[f"{prefix}.bias"] = conv.bias.detach().numpy()
+    return wn.weight.detach().numpy()
+
+
+def test_convert_dac_decoder_matches_plain_weights():
+    """Converting a weight-normed tiny DAC decoder must produce folded weights equal to the
+    torch effective weights, and decode must run."""
+    torch.manual_seed(0)
+    cfg = TINY.dac
+    sd = {}
+    d = cfg.decoder_dim
+    # decoder.model.0 conv_in
+    eff = _wn_conv_sd("decoder.model.0", torch.nn.Conv1d(cfg.latent_dim, d, 7, padding=3), sd)
+    # blocks
+    out_dim = d
+    for i, s in enumerate(cfg.decoder_rates):
+        in_dim, out_dim = d // 2 ** i, d // 2 ** (i + 1)
+        b = f"decoder.model.{i+1}.block"
+        sd[f"{b}.0.alpha"] = np.ones((1, in_dim, 1), np.float32)
+        _wn_conv_sd(f"{b}.1", torch.nn.ConvTranspose1d(in_dim, out_dim, 2 * s, stride=s), sd)
+        for j, dil in zip((2, 3, 4), (1, 3, 9)):
+            sd[f"{b}.{j}.block.0.alpha"] = np.ones((1, out_dim, 1), np.float32)
+            _wn_conv_sd(f"{b}.{j}.block.1",
+                        torch.nn.Conv1d(out_dim, out_dim, 7, dilation=dil, padding=3 * dil), sd)
+            sd[f"{b}.{j}.block.2.alpha"] = np.ones((1, out_dim, 1), np.float32)
+            _wn_conv_sd(f"{b}.{j}.block.3", torch.nn.Conv1d(out_dim, out_dim, 1), sd)
+    n = len(cfg.decoder_rates)
+    sd[f"decoder.model.{n+1}.alpha"] = np.ones((1, out_dim, 1), np.float32)
+    _wn_conv_sd(f"decoder.model.{n+2}", torch.nn.Conv1d(out_dim, 1, 7, padding=3), sd)
+    # encoder (minimal: reuse converter; build matching keys)
+    e = cfg.encoder_dim
+    _wn_conv_sd("encoder.block.0", torch.nn.Conv1d(1, e, 7, padding=3), sd)
+    dim = e
+    for i, s in enumerate(cfg.encoder_rates):
+        dim *= 2
+        b = f"encoder.block.{i+1}.block"
+        for j, dil in zip((0, 1, 2), (1, 3, 9)):
+            sd[f"{b}.{j}.block.0.alpha"] = np.ones((1, dim // 2, 1), np.float32)
+            _wn_conv_sd(f"{b}.{j}.block.1",
+                        torch.nn.Conv1d(dim // 2, dim // 2, 7, dilation=dil, padding=3 * dil), sd)
+            sd[f"{b}.{j}.block.2.alpha"] = np.ones((1, dim // 2, 1), np.float32)
+            _wn_conv_sd(f"{b}.{j}.block.3", torch.nn.Conv1d(dim // 2, dim // 2, 1), sd)
+        sd[f"{b}.3.alpha"] = np.ones((1, dim // 2, 1), np.float32)
+        import math
+        _wn_conv_sd(f"{b}.4", torch.nn.Conv1d(dim // 2, dim, 2 * s, stride=s,
+                                              padding=math.ceil(s / 2)), sd)
+    n = len(cfg.encoder_rates)
+    sd[f"encoder.block.{n+1}.alpha"] = np.ones((1, dim, 1), np.float32)
+    _wn_conv_sd(f"encoder.block.{n+2}", torch.nn.Conv1d(dim, cfg.latent_dim, 3, padding=1), sd)
+    qc = torch.nn.Conv1d(cfg.latent_dim, 2 * cfg.latent_dim, 1)
+    sd["quant_conv.weight"], sd["quant_conv.bias"] = qc.weight.detach().numpy(), qc.bias.detach().numpy()
+    pc = torch.nn.Conv1d(cfg.latent_dim, cfg.latent_dim, 1)
+    sd["post_quant_conv.weight"], sd["post_quant_conv.bias"] = pc.weight.detach().numpy(), pc.bias.detach().numpy()
+
+    params = convert_dac_state_dict(sd, cfg, strict=True)
+    # conv_in folded weight equals torch effective weight (transposed layout)
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["conv_in"]["w"]),
+        np.transpose(eff, (2, 1, 0)), atol=1e-5,
+    )
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, cfg.latent_dim)).astype(np.float32))
+    audio = dac_vae.decode(params, z, cfg)
+    assert audio.shape == (1, 3 * cfg.hop_length, 1)
+
+
+def test_fp8_quantize_policy():
+    params = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q, counts, saved = quantize_fp8(params, "fp8_e4m3fn")
+    flat = flatten_params(q)
+    # quantized: big matmul weights
+    assert flat["triple_blocks.audio_self_attn_qkv.w"].dtype == jnp.float8_e4m3fn
+    assert flat["single_blocks.linear_qkv.w"].dtype == jnp.float8_e4m3fn
+    # deny-list: final layer, cross q/proj, norms, biases, empties
+    assert flat["final_layer.linear.w"].dtype == jnp.float32
+    assert flat["triple_blocks.audio_cross_q.w"].dtype == jnp.float32
+    assert flat["triple_blocks.audio_cross_proj.w"].dtype == jnp.float32
+    assert flat["visual_proj.w1.w"].dtype == jnp.float32
+    assert flat["single_blocks.q_norm.weight"].dtype == jnp.float32
+    assert flat["triple_blocks.audio_self_attn_qkv.b"].dtype == jnp.float32
+    assert flat["empty_clip_feat"].dtype == jnp.float32
+    assert saved > 0 and counts["quantized"] > 0
+    # quantized model still runs (upcast-on-use)
+    rng = np.random.default_rng(0)
+    out = mmdit.apply(
+        q,
+        jnp.asarray(rng.normal(size=(1, 20, CFG.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([100.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 4, CFG.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.sync_feat_dim)).astype(np.float32)),
+        CFG,
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_detect_dtypes():
+    sd = {"a": np.zeros(10, np.float16), "b": np.zeros(100, np.float16), "c": np.zeros(5, np.float32)}
+    assert detect_ckpt_major_precision(sd) == "fp16"
+    assert detect_ckpt_fp8(sd) is None
+    import ml_dtypes
+
+    sd["q"] = np.zeros(4, ml_dtypes.float8_e4m3fn)
+    assert detect_ckpt_fp8(sd) == "fp8_e4m3fn"
+
+
+def test_write_wav_roundtrip(tmp_path):
+    import wave
+
+    path = str(tmp_path / "t.wav")
+    wf = np.sin(np.linspace(0, 100, 4800, dtype=np.float32))[None] * 0.5
+    write_wav(path, wf, 48000)
+    with wave.open(path) as f:
+        assert f.getframerate() == 48000
+        assert f.getnchannels() == 1
+        assert f.getnframes() == 4800

@@ -1,0 +1,140 @@
+"""MMDiT structural tests: shape contracts, jit/scan compilation, CFG batching,
+zero-init behavior, and block-level invariants (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foley_tpu.configs import TINY, MMDiTConfig
+from foley_tpu.core.params import param_count
+from foley_tpu.models import mmdit
+
+CFG = TINY.model
+B, DUR = 2, 1.0
+T = int(DUR * CFG.audio_frame_rate)  # 50 latent frames
+L_CLIP = 8
+L_SYNC = 16  # 2 segments * 8
+L_TXT = 12
+
+
+@pytest.fixture(scope="module")
+def params():
+    return mmdit.init(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    return dict(
+        x=jnp.asarray(rng.normal(size=(B, T, CFG.audio_vae_latent_dim)).astype(np.float32)),
+        t=jnp.asarray([500.0, 250.0], jnp.float32),
+        cond=jnp.asarray(rng.normal(size=(B, L_TXT, CFG.condition_dim)).astype(np.float32)),
+        clip_feat=jnp.asarray(rng.normal(size=(B, L_CLIP, CFG.clip_dim)).astype(np.float32)),
+        sync_feat=jnp.asarray(rng.normal(size=(B, L_SYNC, CFG.sync_feat_dim)).astype(np.float32)),
+    )
+
+
+def test_forward_shape(params, inputs):
+    out = mmdit.apply(params, cfg=CFG, **inputs)
+    assert out.shape == (B, T, CFG.audio_vae_latent_dim)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_forward_jits_and_is_deterministic(params, inputs):
+    f = jax.jit(lambda p, **kw: mmdit.apply(p, cfg=CFG, **kw))
+    o1 = f(params, **inputs)
+    o2 = f(params, **inputs)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_zero_init_gives_zero_velocity_at_init(params, inputs):
+    """final_layer.linear is zero-init (reference mlp_layers.py:86-87), so the initial model
+    must output exactly zero velocity."""
+    out = mmdit.apply(params, cfg=CFG, **inputs)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_batch_consistency(params, inputs):
+    """Row i of a batched forward == forward of row i alone (no cross-batch leakage)."""
+    full = mmdit.apply(params, cfg=CFG, **inputs)
+    single = mmdit.apply(
+        params,
+        x=inputs["x"][:1],
+        t=inputs["t"][:1],
+        cond=inputs["cond"][:1],
+        clip_feat=inputs["clip_feat"][:1],
+        sync_feat=inputs["sync_feat"][:1],
+        cfg=CFG,
+    )
+    np.testing.assert_allclose(np.asarray(full[:1]), np.asarray(single), atol=1e-5, rtol=1e-5)
+
+
+def test_empty_sequences(params):
+    clip = mmdit.get_empty_clip_sequence(params, bs=3, length=L_CLIP)
+    sync = mmdit.get_empty_sync_sequence(params, bs=3, length=L_SYNC)
+    assert clip.shape == (3, L_CLIP, CFG.clip_dim)
+    assert sync.shape == (3, L_SYNC, CFG.sync_feat_dim)
+    np.testing.assert_array_equal(np.asarray(clip), 0.0)  # zero-init learned params
+
+
+def test_visual_len_differs_from_audio_len(params, inputs):
+    """Interleaved RoPE path with mismatched audio/visual lengths (nearest-exact resize)."""
+    out = mmdit.apply(
+        params,
+        x=inputs["x"],
+        t=inputs["t"],
+        cond=inputs["cond"],
+        clip_feat=inputs["clip_feat"][:, :5],  # visual_len != audio_len
+        sync_feat=inputs["sync_feat"],
+        cfg=CFG,
+    )
+    assert out.shape == (B, T, CFG.audio_vae_latent_dim)
+
+
+def test_triple_block_residual_identity_at_zero_mod(params, inputs):
+    """With zero-init modulations, every gate is zero, so each block is the identity at init."""
+    blocks0 = jax.tree.map(lambda x: x[0], params["triple_blocks"])
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.normal(size=(B, T, CFG.hidden_size)).astype(np.float32))
+    v_cond = jnp.asarray(rng.normal(size=(B, L_CLIP, CFG.hidden_size)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(B, L_TXT, CFG.hidden_size)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(size=(B, CFG.hidden_size)).astype(np.float32))
+    ropes = mmdit.build_rope_tables(CFG, T, L_CLIP, L_TXT)
+    a_out, v_out = mmdit.triple_block_apply(blocks0, audio, cond, v_cond, vec, ropes, CFG)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(audio), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_cond), atol=1e-6)
+
+
+def test_single_block_residual_identity_at_zero_mod(params):
+    blocks0 = jax.tree.map(lambda x: x[0], params["single_blocks"])
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(B, T, CFG.hidden_size)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(size=(B, T, CFG.hidden_size)).astype(np.float32))
+    ropes = mmdit.build_rope_tables(CFG, T, L_CLIP, L_TXT)
+    out = mmdit.single_block_apply(blocks0, x, vec, ropes, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_param_count_scales_with_config():
+    """XXL param count must land at ~5.1B (reference fp16 ckpt is 10.3 GB, README.md:41)."""
+    from foley_tpu.configs import XXL
+
+    # count analytically via shape-only init (abstract eval, no memory)
+    shapes = jax.eval_shape(lambda k: mmdit.init(k, XXL.model), jax.random.PRNGKey(0))
+    total = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 4.8e9 < total < 5.6e9, f"XXL param count {total:,} out of expected range"
+
+
+def test_timestep_embedding_matches_reference_math():
+    import math
+    import torch
+
+    t = torch.tensor([0.0, 500.0, 999.0])
+    half = 128
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
+    args = t[:, None] * freqs[None]
+    expected = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+    got = mmdit.timestep_embedding(jnp.asarray(t.numpy()), 256)
+    # fp32 sin/cos of large args (t~1000): a few e-5 ULP noise is expected
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), atol=1e-4, rtol=0)

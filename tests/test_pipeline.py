@@ -1,0 +1,148 @@
+"""End-to-end pipeline tests on the TINY config: T2A generation, CFG structure, seeding,
+batching, and the sampler-node API surface."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foley_tpu.configs import TINY
+from foley_tpu.models import dac_vae, mmdit
+from foley_tpu.pipeline.features import (
+    pad_or_trim_time,
+    pick_text_bucket,
+    prepare_cfg_features,
+    resample_frames,
+    sync_segments,
+)
+from foley_tpu.pipeline.generate import ModelBundle, generate_audio, select_audio_from_batch
+
+CFG = TINY
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), CFG.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), CFG.dac),
+        pipeline_cfg=CFG,
+        compute_dtype=jnp.float32,
+    )
+
+
+def _text(l=10):
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.normal(size=(1, l, CFG.model.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, l, CFG.model.condition_dim)).astype(np.float32)),
+    )
+
+
+def test_t2a_generation_end_to_end(bundle):
+    text, uncond = _text()
+    res = generate_audio(
+        bundle, text, uncond, duration_s=1.0,
+        guidance_scale=4.5, num_inference_steps=4, batch_size=2, seed=7,
+        text_bucket=16,
+    )
+    sr = CFG.dac.sample_rate
+    assert res.sample_rate == sr
+    assert res.audio_first.shape == (1, 1, sr)
+    assert res.audio_batch.shape == (2, 1, sr)
+    assert np.all(np.isfinite(res.audio_batch))
+    assert np.all(np.abs(res.audio_batch) <= 1.0)
+
+
+def test_seed_determinism_and_variation(bundle):
+    text, uncond = _text()
+    kw = dict(duration_s=1.0, guidance_scale=4.5, num_inference_steps=2, batch_size=1,
+              text_bucket=16)
+    a = generate_audio(bundle, text, uncond, seed=1, **kw)
+    b = generate_audio(bundle, text, uncond, seed=1, **kw)
+    c = generate_audio(bundle, text, uncond, seed=2, **kw)
+    np.testing.assert_array_equal(a.audio_batch, b.audio_batch)
+    assert np.abs(a.audio_batch - c.audio_batch).max() > 0
+
+
+def test_no_cfg_path(bundle):
+    text, uncond = _text()
+    res = generate_audio(
+        bundle, text, uncond, duration_s=1.0,
+        guidance_scale=1.0, num_inference_steps=2, batch_size=1, text_bucket=16,
+    )
+    assert res.audio_batch.shape[0] == 1
+
+
+def test_solvers_run(bundle):
+    text, uncond = _text()
+    for solver in ("heun-2", "kutta-4"):
+        res = generate_audio(
+            bundle, text, uncond, duration_s=1.0, guidance_scale=4.5,
+            num_inference_steps=4, sampler=solver, batch_size=1, text_bucket=16,
+        )
+        assert np.all(np.isfinite(res.audio_batch))
+
+
+# ---------------------------------------------------------------------------------
+# Feature preparation
+# ---------------------------------------------------------------------------------
+
+def test_text_bucketing():
+    assert pick_text_bucket(10) == 77
+    assert pick_text_bucket(77) == 77
+    assert pick_text_bucket(78) == 128
+    assert pick_text_bucket(10, sticky=128) == 128  # sticky-max upgrade
+    assert pick_text_bucket(200, cap=100) == 100
+
+
+def test_pad_or_trim():
+    x = jnp.ones((1, 5, 3))
+    assert pad_or_trim_time(x, 8).shape == (1, 8, 3)
+    assert float(pad_or_trim_time(x, 8)[0, 7, 0]) == 0.0
+    assert pad_or_trim_time(x, 3).shape == (1, 3, 3)
+    assert pad_or_trim_time(x, 5) is x
+
+
+def test_prepare_cfg_features_structure(bundle):
+    text, uncond = _text(l=10)
+    rng = np.random.default_rng(1)
+    clip = jnp.asarray(rng.normal(size=(1, 8, CFG.model.clip_dim)).astype(np.float32))
+    sync = jnp.asarray(rng.normal(size=(1, 16, CFG.model.sync_feat_dim)).astype(np.float32))
+    feats = prepare_cfg_features(
+        bundle.mmdit_params, text, uncond, clip, sync, batch_size=2, text_bucket=16
+    )
+    assert feats.cond.shape == (4, 16, CFG.model.condition_dim)
+    assert feats.clip_feat.shape == (4, 8, CFG.model.clip_dim)
+    # uncond rows first (reference ordering), visual uncond = learned empty (zeros at init)
+    np.testing.assert_array_equal(np.asarray(feats.clip_feat[:2]), 0.0)
+    np.testing.assert_array_equal(np.asarray(feats.cond[:2]), np.asarray(pad_or_trim_time(jnp.repeat(uncond, 2, 0), 16)))
+
+
+def test_t2a_lengths_match_reference_formula():
+    # reference nodes.py:326-333 for 5 s: clip 40, segments (125-16)//8+1 = 14 -> sync 112
+    clip_len, sync_len = CFG.t2a_lengths(5.0)
+    assert clip_len == 40
+    assert sync_len == 112
+
+
+def test_resample_frames_pads_short_input():
+    frames = np.zeros((10, 4, 4, 3), np.float32)
+    frames[-1] = 1.0
+    out = resample_frames(frames, source_fps=16, duration_s=1.0, target_fps=8)
+    assert out.shape[0] == 8
+    out2 = resample_frames(frames, source_fps=25, duration_s=1.0, target_fps=25)
+    assert out2.shape[0] == 25  # padded by repeating last frame
+    np.testing.assert_array_equal(out2[-1], frames[-1])
+
+
+def test_sync_segments_windows():
+    frames = np.arange(32, dtype=np.float32).reshape(32, 1)
+    segs = sync_segments(frames, 16, 8)
+    assert segs.shape == (3, 16, 1)
+    np.testing.assert_array_equal(segs[1, 0], frames[8])
+
+
+def test_select_audio_clamps():
+    batch = np.arange(6).reshape(3, 1, 2).astype(np.float32)
+    np.testing.assert_array_equal(select_audio_from_batch(batch, 10), batch[2:3])
+    np.testing.assert_array_equal(select_audio_from_batch(batch, -3), batch[0:1])
