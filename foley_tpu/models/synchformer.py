@@ -1,0 +1,328 @@
+"""Synchformer video feature extractor (MotionFormer divided space-time ViT) — JAX port.
+
+Role in the pipeline: audio-visual sync features at 25 fps. Input: 16-frame 224x224 segments
+with stride 8; output (8, 768) per segment, flattened to [B, S*8, 768]
+(reference ``synchformer.py:46-52``, ``feature_utils.py:81-107``). Only the video half runs at
+inference; the AST audio branch / GlobalTransformer sync-scorer weights are vendored
+capabilities in the reference (SURVEY.md §2.6) and are ignored by the converter here.
+
+Architecture (reference ``vit_helper.py``, ``video_model_builder.py``, ``motionformer.py``;
+config ``divided_224_16x4.yaml``: ViT-B/16, depth 12, heads 12, temporal patch 2):
+- Conv3d patch embedding (2, 16, 16) -> 8 x 14 x 14 tokens per segment + CLS;
+- separate positional embeddings: spatial (196+CLS) tiled over time + temporal (8)
+  repeat-interleaved over space (``video_model_builder.py:220-227``);
+- 12 x DividedSpaceTimeBlock: time-attention (norm3) -> space-attention (norm1) -> MLP
+  (norm2), each DividedAttention treating CLS specially: CLS attends globally; patch tokens
+  attend within their time/space group with CLS k/v prepended (``vit_helper.py:56-114``);
+- drop CLS, final LayerNorm, restore (t, h, w), then a SpatialTransformerEncoderLayer
+  (pre-LN torch TransformerEncoderLayer with a CLS probe) pools each frame -> (8, 768)
+  (``motionformer.py:219-235, 341-366``).
+
+TPU-first: divided attention is expressed as batched reshapes + one fused SDPA per axis (the
+group dimension folds into the batch), all segments and frames processed as one MXU batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foley_tpu.configs import SynchformerConfig
+from foley_tpu.ops.nn import apply_dense
+from foley_tpu.ops.norms import layer_norm
+
+EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------------
+# Convert
+# ---------------------------------------------------------------------------------
+
+def convert_state_dict(sd: Dict[str, np.ndarray], cfg: SynchformerConfig,
+                       prefix: str = "vfeat_extractor.") -> Dict:
+    """Synchformer checkpoint (vfeat_extractor.* keys) -> pytree. Audio-branch keys ignored."""
+
+    def lin(name):
+        p = {"w": jnp.asarray(np.ascontiguousarray(sd[prefix + name + ".weight"].T))}
+        if prefix + name + ".bias" in sd:
+            p["b"] = jnp.asarray(sd[prefix + name + ".bias"])
+        return p
+
+    def ln(name):
+        return {"weight": jnp.asarray(sd[prefix + name + ".weight"]),
+                "bias": jnp.asarray(sd[prefix + name + ".bias"])}
+
+    # Conv3d [D, C, kt, kh, kw] -> flattened dense [C*kt*kh*kw, D] (torch flatten order)
+    w3 = sd[prefix + "patch_embed_3d.proj.weight"]
+    d = w3.shape[0]
+    params: Dict = {
+        "patch_embed": {"w": jnp.asarray(np.ascontiguousarray(w3.reshape(d, -1).T)),
+                        "b": jnp.asarray(sd[prefix + "patch_embed_3d.proj.bias"])},
+        "cls_token": jnp.asarray(sd[prefix + "cls_token"]),
+        "pos_embed": jnp.asarray(sd[prefix + "pos_embed"]),
+        "temp_embed": jnp.asarray(sd[prefix + "temp_embed"]),
+        "norm": ln("norm"),
+        "blocks": [],
+    }
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "norm1": ln(b + "norm1"),
+            "attn_qkv": lin(b + "attn.qkv"),
+            "attn_proj": lin(b + "attn.proj"),
+            "norm3": ln(b + "norm3"),
+            "time_qkv": lin(b + "timeattn.qkv"),
+            "time_proj": lin(b + "timeattn.proj"),
+            "norm2": ln(b + "norm2"),
+            "fc1": lin(b + "mlp.fc1"),
+            "fc2": lin(b + "mlp.fc2"),
+        })
+    # SpatialTransformerEncoderLayer (torch nn.TransformerEncoderLayer, norm_first=True)
+    sp = "spatial_attn_agg."
+    h = cfg.embed_dim
+    in_w = sd[prefix + sp + "self_attn.in_proj_weight"]
+    in_b = sd[prefix + sp + "self_attn.in_proj_bias"]
+    params["spatial_agg"] = {
+        "cls_token": jnp.asarray(sd[prefix + sp + "cls_token"]),
+        "q": {"w": jnp.asarray(np.ascontiguousarray(in_w[:h].T)), "b": jnp.asarray(in_b[:h])},
+        "k": {"w": jnp.asarray(np.ascontiguousarray(in_w[h:2 * h].T)), "b": jnp.asarray(in_b[h:2 * h])},
+        "v": {"w": jnp.asarray(np.ascontiguousarray(in_w[2 * h:].T)), "b": jnp.asarray(in_b[2 * h:])},
+        "out": lin(sp + "self_attn.out_proj"),
+        "linear1": lin(sp + "linear1"),
+        "linear2": lin(sp + "linear2"),
+        "norm1": ln(sp + "norm1"),
+        "norm2": ln(sp + "norm2"),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Random init (tests)
+# ---------------------------------------------------------------------------------
+
+def init(key, cfg: SynchformerConfig, dtype=jnp.float32) -> Dict:
+    d = cfg.embed_dim
+    n_sp = cfg.patches_per_frame
+    keys = iter(jax.random.split(key, 16 + 8 * cfg.depth))
+
+    def lin(kin, kout, bias=True):
+        k = next(keys)
+        p = {"w": 0.02 * jax.random.normal(k, (kin, kout), dtype)}
+        if bias:
+            p["b"] = jnp.zeros((kout,), dtype)
+        return p
+
+    def ln():
+        return {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    patch_in = 3 * cfg.temporal_patch_size * cfg.patch_size * cfg.patch_size
+    params: Dict = {
+        "patch_embed": lin(patch_in, d),
+        "cls_token": 0.02 * jax.random.normal(next(keys), (1, 1, d), dtype),
+        "pos_embed": 0.02 * jax.random.normal(next(keys), (1, n_sp + 1, d), dtype),
+        "temp_embed": jnp.zeros((1, cfg.temporal_resolution, d), dtype),
+        "norm": ln(),
+        "blocks": [],
+        "spatial_agg": {
+            "cls_token": 0.02 * jax.random.normal(next(keys), (1, 1, d), dtype),
+            "q": lin(d, d), "k": lin(d, d), "v": lin(d, d), "out": lin(d, d),
+            "linear1": lin(d, int(d * cfg.mlp_ratio)), "linear2": lin(int(d * cfg.mlp_ratio), d),
+            "norm1": ln(), "norm2": ln(),
+        },
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append({
+            "norm1": ln(), "attn_qkv": lin(d, 3 * d), "attn_proj": lin(d, d),
+            "norm3": ln(), "time_qkv": lin(d, 3 * d), "time_proj": lin(d, d),
+            "norm2": ln(), "fc1": lin(d, int(d * cfg.mlp_ratio)),
+            "fc2": lin(int(d * cfg.mlp_ratio), d),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------------
+
+def _ln(p, x):
+    return layer_norm(x, p["weight"], p["bias"], eps=EPS)
+
+
+def _sdpa(q, k, v, nh):
+    """[B, L, D] heads-folded SDPA (fp32 softmax)."""
+    b, lq, dm = q.shape
+    hd = dm // nh
+    q = q.reshape(b, lq, nh, hd)
+    k = k.reshape(b, k.shape[1], nh, hd)
+    v = v.reshape(b, v.shape[1], nh, hd)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
+                        precision=prec) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=prec).reshape(b, lq, dm)
+
+
+def _divided_attention(p_qkv, p_proj, x, group: str, f: int, n: int, nh: int):
+    """DividedAttention (reference vit_helper.py:56-114).
+
+    x: [B, 1+f*n, D]. group='time' attends across frames within each spatial position;
+    group='space' attends across spatial positions within each frame. CLS attends globally;
+    each group additionally attends to the CLS key/value.
+    """
+    b, _, dm = x.shape
+    qkv = apply_dense(p_qkv, x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    cls_q, q_ = q[:, :1], q[:, 1:]
+    cls_k, k_ = k[:, :1], k[:, 1:]
+    cls_v, v_ = v[:, :1], v[:, 1:]
+
+    # CLS token: full attention over all 1+f*n tokens
+    cls_out = _sdpa(cls_q, k, v, nh)  # [B, 1, D]
+
+    def regroup(t):
+        t = t.reshape(b, f, n, dm)
+        if group == "time":
+            t = jnp.swapaxes(t, 1, 2).reshape(b * n, f, dm)   # (b n) f d
+        else:
+            t = t.reshape(b * f, n, dm)                        # (b f) n d
+        return t
+
+    qg, kg, vg = regroup(q_), regroup(k_), regroup(v_)
+    r = qg.shape[0] // b
+    cls_kg = jnp.repeat(cls_k, r, axis=0)
+    cls_vg = jnp.repeat(cls_v, r, axis=0)
+    out = _sdpa(qg, jnp.concatenate([cls_kg, kg], axis=1),
+                jnp.concatenate([cls_vg, vg], axis=1), nh)
+
+    if group == "time":
+        out = out.reshape(b, n, f, dm).swapaxes(1, 2).reshape(b, f * n, dm)
+    else:
+        out = out.reshape(b, f * n, dm)
+    out = jnp.concatenate([cls_out, out], axis=1)
+    return apply_dense(p_proj, out)
+
+
+def _block(p, x, f: int, n: int, nh: int):
+    """DividedSpaceTimeBlock (reference vit_helper.py:117-167): time -> space -> MLP."""
+    x = x + _divided_attention(p["time_qkv"], p["time_proj"], _ln(p["norm3"], x), "time", f, n, nh)
+    x = x + _divided_attention(p["attn_qkv"], p["attn_proj"], _ln(p["norm1"], x), "space", f, n, nh)
+    x = x + apply_dense(p["fc2"], jax.nn.gelu(apply_dense(p["fc1"], _ln(p["norm2"], x)), approximate=False))
+    return x
+
+
+def _spatial_agg(p, x, nh: int):
+    """SpatialTransformerEncoderLayer: prepend CLS, pre-LN torch encoder layer, return CLS.
+
+    x: [B', N, D] -> [B', D] (reference motionformer.py:258-366).
+    """
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b,) + p["cls_token"].shape[1:])
+    x = jnp.concatenate([cls, x], axis=1)
+    xn = _ln(p["norm1"], x)
+    attn = _sdpa(apply_dense(p["q"], xn), apply_dense(p["k"], xn), apply_dense(p["v"], xn), nh)
+    x = x + apply_dense(p["out"], attn)
+    xn = _ln(p["norm2"], x)
+    x = x + apply_dense(p["linear2"], jax.nn.gelu(apply_dense(p["linear1"], xn), approximate=False))
+    return x[:, 0]
+
+
+def _patchify_3d(x: jnp.ndarray, pt: int, ps: int) -> jnp.ndarray:
+    """[B, T, H, W, C] -> [B, (T/pt)*(H/ps)*(W/ps), C*pt*ps*ps] in torch Conv3d flatten order
+    (features ordered (C, kt, kh, kw); tokens ordered (t, h, w))."""
+    b, t, h, w, c = x.shape
+    gt, gh, gw = t // pt, h // ps, w // ps
+    x = x.reshape(b, gt, pt, gh, ps, gw, ps, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))  # [B, gt, gh, gw, C, pt, ph, pw]
+    return x.reshape(b, gt * gh * gw, c * pt * ps * ps)
+
+
+def apply(params: Dict, segments: jnp.ndarray, cfg: SynchformerConfig) -> jnp.ndarray:
+    """segments: [B, S, T=16, H, W, C] normalized frames -> features [B, S, 8, D].
+
+    (The reference takes [B, S, T, C, H, W]; channel-last here.)
+    """
+    b, s, t, h, w, c = segments.shape
+    nh = cfg.num_heads
+    f = cfg.temporal_resolution          # 8
+    n = cfg.patches_per_frame            # 196
+
+    x = segments.reshape(b * s, t, h, w, c)
+    x = apply_dense(params["patch_embed"], _patchify_3d(x, cfg.temporal_patch_size, cfg.patch_size))
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b * s, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+
+    # separate pos embeddings (reference video_model_builder.py:220-227)
+    pos = params["pos_embed"].astype(x.dtype)
+    cls_pos = pos[:, :1]
+    tile_pos = jnp.tile(pos[:, 1:], (1, f, 1))
+    tile_temp = jnp.repeat(params["temp_embed"].astype(x.dtype), n, axis=1)
+    x = x + jnp.concatenate([cls_pos, tile_pos + tile_temp], axis=1)
+
+    for blk in params["blocks"]:
+        x = _block(blk, x, f, n, nh)
+
+    x = x[:, 1:]                          # drop CLS (motionformer.py:226)
+    x = _ln(params["norm"], x)
+
+    # restore (t, h, w) and pool space per frame
+    x = x.reshape(b * s * f, n, x.shape[-1])
+    x = _spatial_agg(params["spatial_agg"], x, nh)  # [B*S*f, D]
+    return x.reshape(b, s, f, x.shape[-1])
+
+
+# ---------------------------------------------------------------------------------
+# Preprocessing + encode (reference nodes.py:190-196: resize 224 short side, center-crop,
+# normalize mean=std=0.5; feature_utils.py:91-107 for segmentation/flattening)
+# ---------------------------------------------------------------------------------
+
+def preprocess_frames(frames: np.ndarray, size: int = 224) -> np.ndarray:
+    """[T, H, W, C] float [0,1] -> [T, size, size, C], (x-0.5)/0.5."""
+    from PIL import Image
+
+    t = frames.shape[0]
+    out = np.empty((t, size, size, frames.shape[-1]), np.float32)
+    for i, f in enumerate(frames):
+        img = Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
+        wd, ht = img.size
+        scale = size / min(wd, ht)
+        img = img.resize((max(size, round(wd * scale)), max(size, round(ht * scale))), Image.BICUBIC)
+        left = (img.size[0] - size) // 2
+        top = (img.size[1] - size) // 2
+        img = img.crop((left, top, left + size, top + size))
+        out[i] = np.asarray(img, np.float32) / 255.0
+    return (out - 0.5) / 0.5
+
+
+class SynchformerEncoder:
+    def __init__(self, params: Dict, cfg: SynchformerConfig):
+        self.params = params
+        self.cfg = cfg
+        self._apply = jax.jit(apply, static_argnames=("cfg",))
+
+    def encode(self, segments: np.ndarray) -> jnp.ndarray:
+        """[S, 16, H, W, C] preprocessed segments -> [1, S*8, D] flattened features."""
+        x = jnp.asarray(segments)[None]  # [1, S, 16, H, W, C]
+        feats = self._apply(self.params, x, self.cfg)  # [1, S, 8, D]
+        return feats.reshape(1, -1, feats.shape[-1])
+
+
+def encode_segments(encoder: SynchformerEncoder, segments: np.ndarray) -> jnp.ndarray:
+    """Preprocess raw [S, 16, H, W, C] float [0,1] segments and encode."""
+    s, t = segments.shape[:2]
+    flat = preprocess_frames(segments.reshape(s * t, *segments.shape[2:]), encoder.cfg.img_size)
+    return encoder.encode(flat.reshape(s, t, *flat.shape[1:]))
+
+
+def load(model_path: str, cfg: Optional[SynchformerConfig] = None) -> SynchformerEncoder:
+    from foley_tpu.io.convert import load_torch_state_dict
+
+    sd = load_torch_state_dict(model_path)
+    cfg = cfg or SynchformerConfig()
+    prefix = "vfeat_extractor." if any(k.startswith("vfeat_extractor.") for k in sd) else ""
+    return SynchformerEncoder(convert_state_dict(sd, cfg, prefix=prefix), cfg)
