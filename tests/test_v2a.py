@@ -59,8 +59,23 @@ def test_v2a_end_to_end(tiny_stack):
 
 
 def test_v2a_differs_from_t2a(tiny_stack):
-    """Visual conditioning must change the output vs the T2A (empty-feature) path."""
+    """Visual conditioning must change the output vs the T2A (empty-feature) path.
+
+    At random init the zero-init final layer makes velocity identically zero (conditioning
+    cannot reach the output — that's the DiT init contract), so the final projection is
+    re-initialized nonzero for this test to let the sync/clip signal flow."""
+    import jax.numpy as jnp
+
     foley_model, deps = tiny_stack
+    params = dict(foley_model["params"])
+    fl = dict(params["final_layer"])
+    lin = dict(fl["linear"])
+    rng = np.random.default_rng(9)
+    lin["w"] = jnp.asarray(rng.normal(size=lin["w"].shape).astype(np.float32) * 0.05)
+    fl["linear"] = lin
+    params["final_layer"] = fl
+    foley_model = dict(foley_model, params=params)
+
     frames = np.random.default_rng(1).random((16, 40, 40, 3)).astype(np.float32)
     kwargs = dict(frame_rate=16, duration=1.0, prompt="clink", negative_prompt="noisy",
                   cfg_scale=4.5, steps=2, sampler="euler", batch_size=1, seed=0)
