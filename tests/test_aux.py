@@ -1,0 +1,130 @@
+"""Aux subsystem tests: config YAML parsing, AttributeDict, offload manager, orbax
+round-trip, profiling reports, node schemas, package surface."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foley_tpu.configs import XL, XXL, config_from_yaml, get_config
+from foley_tpu.utils.config_utils import AttributeDict, load_yaml, merge_dicts
+
+YAML_DIR = os.path.join(os.path.dirname(__file__), "..", "foley_tpu", "configs", "yaml")
+
+
+def test_yaml_configs_match_presets():
+    assert config_from_yaml(os.path.join(YAML_DIR, "hunyuanvideo-foley-xxl.yaml")).model == XXL.model
+    assert config_from_yaml(os.path.join(YAML_DIR, "hunyuanvideo-foley-xl.yaml")).model == XL.model
+
+
+def test_attribute_dict():
+    d = AttributeDict({"a": {"b": [1, {"c": 2}]}, "x-y": 3})
+    assert d.a.b[1].c == 2
+    assert d.x_y == 3
+    assert d.get("missing", "dflt") == "dflt"
+    assert "a" in d and len(d) == 2
+    assert d.to_dict() == {"a": {"b": [1, {"c": 2}]}, "x-y": 3}
+    with pytest.raises(AttributeError):
+        _ = d.nope
+
+
+def test_merge_dicts():
+    assert merge_dicts({"a": {"b": 1, "c": 2}}, {"a": {"b": 9}, "d": 4}) == {
+        "a": {"b": 9, "c": 2}, "d": 4,
+    }
+
+
+def test_offload_manager_lazy_and_release():
+    from foley_tpu.pipeline.manager import OffloadModelManager
+
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return {"w": jnp.ones((4,))}
+
+    m = OffloadModelManager(policy="drop")
+    m.register("foley", loader)
+    assert calls["n"] == 0
+    _ = m.foley
+    assert calls["n"] == 1
+    _ = m.foley  # cached
+    assert calls["n"] == 1
+    m.release_inference_models()
+    assert m.loaded == []
+    _ = m.foley  # drop policy -> reload
+    assert calls["n"] == 2
+    with pytest.raises(KeyError):
+        m.get("unknown")
+
+
+def test_orbax_roundtrip(tmp_path):
+    from foley_tpu.io.orbax_io import load_params, save_params
+
+    params = {"a": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+              "b": jnp.ones((4,), jnp.bfloat16)}
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    restored = load_params(path, template=params)
+    assert restored["b"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored["a"]["w"]), np.asarray(params["a"]["w"]))
+
+
+def test_param_report():
+    from foley_tpu.utils.profiling import log_param_report
+
+    report = log_param_report("test", {"mod": {"w": jnp.zeros((1024, 1024), jnp.float32)}})
+    assert abs(report["mod"] - 4.0) < 1e-6  # 4 MiB
+    assert report["__total__"] == report["mod"]
+
+
+def test_node_schemas_complete():
+    from foley_tpu.api.nodes import NODE_CLASS_MAPPINGS, NODE_DISPLAY_NAME_MAPPINGS
+
+    assert set(NODE_CLASS_MAPPINGS) == {
+        "HunyuanModelLoader", "HunyuanDependenciesLoader", "HunyuanFoleySampler",
+        "HunyuanFoleyTorchCompile", "HunyuanBlockSwap", "SelectAudioFromBatch",
+    }
+    assert set(NODE_DISPLAY_NAME_MAPPINGS) == set(NODE_CLASS_MAPPINGS)
+    for name, cls in NODE_CLASS_MAPPINGS.items():
+        schema = cls.INPUT_TYPES()
+        assert "required" in schema, name
+        assert isinstance(cls.RETURN_TYPES, tuple) and hasattr(cls, "FUNCTION")
+        assert callable(getattr(cls, cls.FUNCTION))
+
+
+def test_sampler_schema_matches_reference_contract():
+    """Widget schema parity with reference nodes.py:213-237."""
+    from foley_tpu.api.nodes import HunyuanFoleySampler
+
+    req = HunyuanFoleySampler.INPUT_TYPES()["required"]
+    assert req["negative_prompt"][1]["default"] == "noisy, harsh"
+    assert req["cfg_scale"][1]["default"] == 4.5
+    assert req["steps"][1]["default"] == 50
+    assert req["sampler"][0] == ["euler", "heun-2", "midpoint-2", "kutta-4"]
+    assert req["batch_size"][1]["max"] == 6
+    assert req["duration"][1] ["min"] == 1.0
+
+
+def test_package_surface():
+    import foley_tpu
+
+    assert callable(foley_tpu.load_model)
+    assert callable(foley_tpu.denoise_process)
+    assert callable(foley_tpu.feature_process)
+    assert callable(foley_tpu.merge_audio_video)
+    assert foley_tpu.AttributeDict is AttributeDict
+    assert "HunyuanFoleySampler" in foley_tpu.NODE_CLASS_MAPPINGS
+
+
+def test_compile_tracker():
+    from foley_tpu.utils.profiling import CompileTracker
+
+    tracker = CompileTracker()
+    f = tracker.wrap("square", jax.jit(lambda x: x * x))
+    f(jnp.ones((2,)))
+    f(jnp.ones((2,)))      # cache hit
+    f(jnp.ones((3,)))      # new bucket
+    assert tracker.compiles.get("square", 0) >= 1
