@@ -82,22 +82,36 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: SynchformerConfig,
             "fc2": lin(b + "mlp.fc2"),
         })
     # SpatialTransformerEncoderLayer (torch nn.TransformerEncoderLayer, norm_first=True)
-    sp = "spatial_attn_agg."
-    h = cfg.embed_dim
-    in_w = sd[prefix + sp + "self_attn.in_proj_weight"]
-    in_b = sd[prefix + sp + "self_attn.in_proj_bias"]
-    params["spatial_agg"] = {
-        "cls_token": jnp.asarray(sd[prefix + sp + "cls_token"]),
-        "q": {"w": jnp.asarray(np.ascontiguousarray(in_w[:h].T)), "b": jnp.asarray(in_b[:h])},
-        "k": {"w": jnp.asarray(np.ascontiguousarray(in_w[h:2 * h].T)), "b": jnp.asarray(in_b[h:2 * h])},
-        "v": {"w": jnp.asarray(np.ascontiguousarray(in_w[2 * h:].T)), "b": jnp.asarray(in_b[2 * h:])},
-        "out": lin(sp + "self_attn.out_proj"),
-        "linear1": lin(sp + "linear1"),
-        "linear2": lin(sp + "linear2"),
-        "norm1": ln(sp + "norm1"),
-        "norm2": ln(sp + "norm2"),
-    }
+    params["spatial_agg"] = convert_torch_encoder_layer(sd, prefix + "spatial_attn_agg.", cfg.embed_dim)
     return params
+
+
+def convert_torch_encoder_layer(sd: Dict[str, np.ndarray], prefix: str, dim: int) -> Dict:
+    """Convert a torch ``nn.TransformerEncoderLayer`` (+ CLS probe) to the ``_spatial_agg``
+    param layout. Shared by MotionFormer's spatial pooling and AST's frequency pooling
+    (reference ``motionformer.py:258-366``, ``ast_model.py:263-289``)."""
+    in_w = sd[prefix + "self_attn.in_proj_weight"]
+    in_b = sd[prefix + "self_attn.in_proj_bias"]
+
+    def lin(name):
+        return {"w": jnp.asarray(np.ascontiguousarray(sd[prefix + name + ".weight"].T)),
+                "b": jnp.asarray(sd[prefix + name + ".bias"])}
+
+    def ln(name):
+        return {"weight": jnp.asarray(sd[prefix + name + ".weight"]),
+                "bias": jnp.asarray(sd[prefix + name + ".bias"])}
+
+    return {
+        "cls_token": jnp.asarray(sd[prefix + "cls_token"]),
+        "q": {"w": jnp.asarray(np.ascontiguousarray(in_w[:dim].T)), "b": jnp.asarray(in_b[:dim])},
+        "k": {"w": jnp.asarray(np.ascontiguousarray(in_w[dim:2 * dim].T)), "b": jnp.asarray(in_b[dim:2 * dim])},
+        "v": {"w": jnp.asarray(np.ascontiguousarray(in_w[2 * dim:].T)), "b": jnp.asarray(in_b[2 * dim:])},
+        "out": lin("self_attn.out_proj"),
+        "linear1": lin("linear1"),
+        "linear2": lin("linear2"),
+        "norm1": ln("norm1"),
+        "norm2": ln("norm2"),
+    }
 
 
 # ---------------------------------------------------------------------------------
