@@ -76,6 +76,33 @@ def conv1d(
     return out
 
 
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: Tuple[int, int] = (1, 1),
+    padding: Tuple[int, int] = (0, 0),
+    dilation: Tuple[int, int] = (1, 1),
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Channel-last 2-D convolution. x [B, H, W, Cin], w [Kh, Kw, Cin/groups, Cout].
+
+    Matches torch ``F.conv2d`` numerics (used by the DAC discriminators' 2-D stacks)."""
+    out = lax.conv_general_dilated(
+        x,
+        _match(w, x),
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=_precision(x),
+    )
+    if b is not None:
+        out = out + _match(b, x)
+    return out
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -1,0 +1,162 @@
+"""DAC discrete branch + training artifacts: RVQ (vs torch transcription), losses
+(closed forms + torch cross-checks), discriminators (shape/grad), codec chunk round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from foley_tpu.configs import TINY
+from foley_tpu.models import dac_codec, dac_discriminator, dac_losses, dac_vae, quantize
+from foley_tpu.models.quantize import RVQConfig
+
+RVQ_TINY = RVQConfig(input_dim=16, n_codebooks=3, codebook_size=32, codebook_dim=4)
+
+
+# ---------------------------------------------------------------------------------
+# RVQ
+# ---------------------------------------------------------------------------------
+
+def _torch_vq(in_w, in_b, out_w, out_b, codebook, z):
+    """Transcription of reference VectorQuantize.forward (quantize.py:34-94), channels-first."""
+    z_e = F.conv1d(z, in_w, in_b)
+    enc = z_e.permute(0, 2, 1).reshape(-1, z_e.shape[1])
+    encn = F.normalize(enc)
+    cbn = F.normalize(codebook)
+    dist = encn.pow(2).sum(1, keepdim=True) - 2 * encn @ cbn.t() + cbn.pow(2).sum(1, keepdim=True).t()
+    indices = (-dist).max(1)[1].reshape(z.shape[0], -1)
+    z_q = F.embedding(indices, codebook).transpose(1, 2)
+    z_q_st = z_e + (z_q - z_e).detach()
+    out = F.conv1d(z_q_st, out_w, out_b)
+    return out, indices
+
+
+def test_vector_quantize_matches_torch():
+    torch.manual_seed(0)
+    cfg = RVQ_TINY
+    in_w = torch.randn(cfg.codebook_dim, cfg.input_dim, 1)
+    in_b = torch.randn(cfg.codebook_dim)
+    out_w = torch.randn(cfg.input_dim, cfg.codebook_dim, 1)
+    out_b = torch.randn(cfg.input_dim)
+    codebook = torch.randn(cfg.codebook_size, cfg.codebook_dim)
+    z = torch.randn(2, cfg.input_dim, 7)
+
+    with torch.no_grad():
+        ref, ref_idx = _torch_vq(in_w, in_b, out_w, out_b, codebook, z)
+
+    q = {
+        "in_proj": {"w": jnp.asarray(in_w[:, :, 0].numpy().T.copy()), "b": jnp.asarray(in_b.numpy())},
+        "out_proj": {"w": jnp.asarray(out_w[:, :, 0].numpy().T.copy()), "b": jnp.asarray(out_b.numpy())},
+        "codebook": jnp.asarray(codebook.numpy()),
+    }
+    z_q, _, _, idx, _ = quantize.vector_quantize(q, jnp.asarray(z.transpose(1, 2).numpy()))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx.numpy())
+    np.testing.assert_allclose(np.asarray(z_q), ref.transpose(1, 2).numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_rvq_shapes_and_residual_convergence():
+    params = quantize.init(jax.random.PRNGKey(0), RVQ_TINY)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, RVQ_TINY.input_dim)).astype(np.float32))
+    out = quantize.apply(params, z, RVQ_TINY)
+    assert out.z_q.shape == z.shape
+    assert out.codes.shape == (2, RVQ_TINY.n_codebooks, 9)
+    assert out.latents.shape == (2, 9, RVQ_TINY.n_codebooks * RVQ_TINY.codebook_dim)
+    assert np.isfinite(float(out.commitment_loss))
+    # from_codes reconstructs z_q exactly
+    z_q2 = quantize.from_codes(params, out.codes)
+    np.testing.assert_allclose(np.asarray(z_q2), np.asarray(out.z_q), atol=1e-5)
+    # from_latents round-trips codes
+    _, codes2 = quantize.from_latents(params, out.latents, RVQ_TINY)
+    np.testing.assert_array_equal(np.asarray(codes2), np.asarray(out.codes))
+
+
+def test_rvq_straight_through_gradients():
+    params = quantize.init(jax.random.PRNGKey(0), RVQ_TINY)
+
+    def loss(z):
+        return jnp.sum(quantize.apply(params, z, RVQ_TINY).z_q)
+
+    g = jax.grad(loss)(jnp.ones((1, 4, RVQ_TINY.input_dim)))
+    assert np.any(np.asarray(g) != 0)  # gradient flows through the quantizer
+
+
+# ---------------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------------
+
+def test_sisdr_closed_form():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(1, 1000)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(1, 1000)).astype(np.float32))
+    x = y + 0.1 * noise
+    # perfect estimate -> very high SDR (very negative loss)
+    assert float(dac_losses.sisdr_loss(y, y)) < -60
+    # scale invariance: scaling the estimate must not change the loss
+    base = float(dac_losses.sisdr_loss(x, y))
+    scaled = float(dac_losses.sisdr_loss(3.0 * x, y))
+    np.testing.assert_allclose(base, scaled, atol=1e-3)
+    assert 15 < -base < 30  # ~20 dB SNR regime
+
+
+def test_stft_and_mel_losses_zero_for_identical():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 4096)).astype(np.float32))
+    assert float(dac_losses.multiscale_stft_loss(x, x)) == 0.0
+    assert float(dac_losses.mel_spectrogram_loss(x, x)) == 0.0
+    y = x + 0.1
+    assert float(dac_losses.multiscale_stft_loss(x, y)) > 0
+
+
+def test_gan_losses():
+    real = [[jnp.ones((1, 4, 2)), jnp.ones((1, 2, 1))]]
+    fake = [[jnp.zeros((1, 4, 2)), jnp.zeros((1, 2, 1))]]
+    d = float(dac_losses.discriminator_loss(real, fake))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)  # real=1, fake=0 is the optimum
+    g = float(dac_losses.generator_adv_loss(fake))
+    np.testing.assert_allclose(g, 1.0, atol=1e-6)
+    fm = float(dac_losses.feature_matching_loss(real, fake))
+    np.testing.assert_allclose(fm, 1.0, atol=1e-6)  # L1 over the single non-final map
+
+
+# ---------------------------------------------------------------------------------
+# Discriminators
+# ---------------------------------------------------------------------------------
+
+def test_discriminator_shapes_and_grads():
+    cfg = dac_discriminator.DiscriminatorConfig(
+        periods=(2, 3), rates=(1,), fft_sizes=(512,), sample_rate=16000
+    )
+    params = dac_discriminator.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4000, 1)).astype(np.float32) * 0.1)
+    fmaps = dac_discriminator.apply(params, x)
+    assert len(fmaps) == 4  # 2 MPD + 1 MSD + 1 MRD
+    for pyramid in fmaps:
+        assert len(pyramid) >= 5
+        for fm in pyramid:
+            assert np.all(np.isfinite(np.asarray(fm)))
+
+    def gen_loss(xx):
+        return dac_losses.generator_adv_loss(dac_discriminator.apply(params, xx))
+
+    g = jax.grad(gen_loss)(x)
+    assert np.any(np.asarray(g) != 0)
+
+
+# ---------------------------------------------------------------------------------
+# Codec chunked IO
+# ---------------------------------------------------------------------------------
+
+def test_compress_decompress_roundtrip(tmp_path):
+    cfg = TINY.dac
+    params = dac_vae.init(jax.random.PRNGKey(0), cfg)
+    t = int(0.8 * cfg.sample_rate)
+    audio = np.random.default_rng(0).normal(size=(t,)).astype(np.float32) * 0.1
+    artifact = dac_codec.compress(params, audio, cfg, win_duration_s=0.5)
+    assert artifact.original_length == t
+    path = str(tmp_path / "a.dac.npz")
+    artifact.save(path)
+    loaded = dac_codec.DACFile.load(path)
+    wav = dac_codec.decompress(params, loaded, cfg)
+    assert wav.shape == (t,)
+    assert np.all(np.isfinite(wav))
