@@ -70,7 +70,13 @@ class HunyuanModelLoader:
             precision = major
         dtype = resolve_dtype(precision)
         params = convert_mmdit_state_dict(sd, cfg.model)
-        params = cast_params(params, dtype)
+        # fp8 checkpoint tensors pass through bit-exact (reference utils.py:467-472);
+        # the precision cast applies only to the non-fp8 leaves.
+        from foley_tpu.core.dtypes import FP8_DTYPES
+
+        params = cast_params(
+            params, dtype, predicate=lambda path, leaf: leaf.dtype not in FP8_DTYPES
+        )
         if quantization != "none":
             qmode = quantization
             if qmode == "auto":

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="output.wav")
     p.add_argument("--merge_video", action="store_true",
                    help="Mux generated audio onto --single_video with ffmpeg")
+    p.add_argument("--desync_score", action="store_true",
+                   help="Score AV sync of --single_video's own audio (Synchformer offset head)")
     return p
 
 
@@ -58,6 +60,12 @@ def main(argv=None) -> int:
     from foley_tpu.utils.logging import get_logger
 
     logger = get_logger()
+
+    if args.desync_score:
+        return _desync_score(args, logger)
+
+    if args.csv_path:
+        return _process_batch(args, logger)
 
     try:
         if args.random_init:
@@ -131,6 +139,91 @@ def main(argv=None) -> int:
     except Exception as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+
+
+def _process_batch(args, logger) -> int:
+    """CSV batch mode: rows of ``video_path,prompt`` (reference ``cli.py:126-137`` contract,
+    but in-process instead of spawning subprocesses)."""
+    import csv
+
+    rows = []
+    with open(args.csv_path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            rows.append((row[0].strip(), row[1].strip() if len(row) > 1 else ""))
+    logger.info(f"batch: {len(rows)} rows from {args.csv_path}")
+    failures = 0
+    out_base, out_ext = os.path.splitext(args.output)
+    for i, (video, prompt) in enumerate(rows):
+        sub = argparse.Namespace(**vars(args))
+        sub.csv_path = None
+        sub.single_video = video or None
+        sub.single_prompt = prompt
+        sub.output = f"{out_base}_{i:03d}{out_ext}"
+        rc = main_single(sub)
+        if rc != 0:
+            logger.warning(f"row {i} ({video!r}) failed with rc={rc}")
+            failures += 1
+    return 1 if failures else 0
+
+
+def _desync_score(args, logger) -> int:
+    try:
+        if not args.single_video:
+            print("error: --desync_score requires --single_video", file=sys.stderr)
+            return 2
+        import numpy as np
+
+        from foley_tpu.models.sync_scorer import load_desync_scorer
+        from foley_tpu.pipeline.video import read_video_frames
+
+        scorer = load_desync_scorer(
+            os.path.join(args.model_path or ".", "synchformer_state_dict.safetensors")
+        )
+        frames, _ = read_video_frames(args.single_video, target_fps=25)
+        # extract the video's own audio track at 16 kHz via ffmpeg
+        import shutil
+        import subprocess
+
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is None:
+            print("error: ffmpeg required for audio extraction", file=sys.stderr)
+            return 1
+        raw = subprocess.run(
+            [ffmpeg, "-v", "quiet", "-i", args.single_video, "-ac", "1", "-ar", "16000",
+             "-f", "f32le", "pipe:1"],
+            capture_output=True, check=True,
+        ).stdout
+        waveform = np.frombuffer(raw, np.float32)
+        offset = scorer.score(frames, waveform)
+        print(f"predicted AV offset: {float(offset[0]):+.2f} s")
+        return 0
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def main_single(args) -> int:
+    """Run one generation with a pre-built namespace (used by batch mode)."""
+    saved = sys.argv
+    try:
+        return main(_namespace_to_argv(args))
+    finally:
+        sys.argv = saved
+
+
+def _namespace_to_argv(ns) -> list:
+    argv = []
+    for key, value in vars(ns).items():
+        if value in (None, False):
+            continue
+        flag = f"--{key}"
+        if value is True:
+            argv.append(flag)
+        else:
+            argv += [flag, str(value)]
+    return argv
 
 
 if __name__ == "__main__":
