@@ -392,3 +392,37 @@ def _report(t: _KeyTracker, strict: bool, name: str) -> None:
         logger.warning(msg)
     if unexpected:
         logger.info(f"{name}: {len(unexpected)} unexpected ckpt keys ignored (e.g. {unexpected[:5]})")
+
+
+# ---------------------------------------------------------------------------------
+# Converter CLI: torch checkpoint -> orbax pytree
+# ---------------------------------------------------------------------------------
+
+def _main(argv=None):
+    """``python -m foley_tpu.io.convert <model|dac> <in.(pth|safetensors)> <out_dir>``
+    — convert once (weight-norm folding, layout permutes, fp8 passthrough) and save the
+    orbax artifact for fast subsequent loads."""
+    import argparse
+
+    from foley_tpu.configs import DACConfig, get_config
+    from foley_tpu.io.orbax_io import save_params
+
+    p = argparse.ArgumentParser("foley-tpu-convert", description=_main.__doc__)
+    p.add_argument("kind", choices=["model", "dac"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--config", default="xxl")
+    args = p.parse_args(argv)
+
+    sd = load_torch_state_dict(args.src)
+    logger.info(f"loaded {len(sd)} tensors; fp8={detect_ckpt_fp8(sd)}, "
+                f"major={detect_ckpt_major_precision(sd)}")
+    if args.kind == "model":
+        params = convert_mmdit_state_dict(sd, get_config(args.config).model)
+    else:
+        params = convert_dac_state_dict(sd, DACConfig())
+    save_params(args.dst, params)
+
+
+if __name__ == "__main__":
+    _main()

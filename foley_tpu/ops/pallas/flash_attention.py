@@ -10,6 +10,11 @@ softmax (k-tiling) is unnecessary; skipping it removes the rescaling traffic ent
 
 Grid: (B*H, ceil(Lq / BLOCK_Q)). Padding rows/cols are masked with -inf before the softmax.
 Used for self/cross attention via ``foley_tpu.ops.attention.sdpa(..., impl="pallas")``.
+
+Measured on v5e (XXL denoise step, CFG batch 2, T=250): XLA 46.7 ms vs this kernel 49.8 ms —
+at foley lengths attention is ~10% of step FLOPs and the [B, L, H, D] <-> [B*H, L, D]
+transposes around the kernel outweigh the fusion win, so ``impl="xla"`` stays the default.
+Revisit when fusing qk-RMSNorm + RoPE into the kernel with a head-first block layout.
 """
 
 from __future__ import annotations

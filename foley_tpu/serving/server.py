@@ -1,0 +1,229 @@
+"""HTTP serving for Foley generation — the production-deployment surface.
+
+The reference serves through ComfyUI's graph runtime only. This module adds a standalone
+service: a thread-safe ``FoleyService`` wrapping the model bundle with AOT compile warm-up
+over declared (duration, batch, text-bucket) shape buckets (so the first request is never
+paused by XLA compilation), plus a stdlib HTTP server exposing:
+
+- ``GET /healthz``            -> {"status": "ok", "warm_buckets": [...]}
+- ``POST /generate``          -> WAV bytes (audio/wav) or JSON with base64 audio
+  body: {"prompt": str, "negative_prompt": str, "duration": float, "steps": int,
+         "cfg_scale": float, "sampler": str, "batch_size": int, "seed": int,
+         "response": "wav"|"json"}
+
+Generation is serialized with a lock (one TPU program at a time); duration is snapped to the
+warmed bucket set to avoid recompiles in production.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+from foley_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+class FoleyService:
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        text_encoder=None,
+        durations: Sequence[float] = (5.0,),
+        batch_sizes: Sequence[int] = (1,),
+        text_buckets: Sequence[int] = (77,),
+        default_steps: int = 50,
+    ):
+        self.bundle = bundle
+        self.text_encoder = text_encoder
+        self.durations = sorted(durations)
+        self.batch_sizes = sorted(batch_sizes)
+        self.text_buckets = sorted(text_buckets)
+        self.default_steps = default_steps
+        self._lock = threading.Lock()
+        self.warm_buckets: List[Tuple[float, int, int]] = []
+
+    # -- warmup -----------------------------------------------------------------
+    def warmup(self, steps: Optional[int] = None) -> None:
+        """Pre-compile every declared shape bucket (the CompileConfig node's runtime)."""
+        import jax.numpy as jnp
+
+        steps = steps or self.default_steps
+        for d in self.durations:
+            for b in self.batch_sizes:
+                for tb in self.text_buckets:
+                    logger.info(f"warmup: duration={d}s batch={b} text_bucket={tb}")
+                    z = jnp.zeros((1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32)
+                    generate_audio(
+                        self.bundle, z, z, d,
+                        guidance_scale=4.5, num_inference_steps=steps,
+                        batch_size=b, seed=0, text_bucket=tb,
+                    )
+                    self.warm_buckets.append((d, b, tb))
+
+    def _snap_duration(self, duration: float) -> float:
+        for d in self.durations:
+            if duration <= d:
+                return d
+        return self.durations[-1]
+
+    # -- inference --------------------------------------------------------------
+    def generate(self, request: Dict) -> Dict:
+        import jax.numpy as jnp
+
+        prompt = request.get("prompt", "")
+        neg = request.get("negative_prompt", "noisy, harsh")
+        duration = float(request.get("duration", 5.0))
+        bucket_duration = self._snap_duration(duration)
+        steps = int(request.get("steps", self.default_steps))
+        batch = int(request.get("batch_size", 1))
+        if self.text_encoder is not None:
+            from foley_tpu.models import clap as clap_mod
+
+            feats = clap_mod.encode_text(self.text_encoder, [neg, prompt])
+            text, uncond = feats[1:2], feats[0:1]
+        else:
+            tb = self.text_buckets[0]
+            text = uncond = jnp.zeros(
+                (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
+            )
+        with self._lock:
+            result = generate_audio(
+                self.bundle, text, uncond, bucket_duration,
+                guidance_scale=float(request.get("cfg_scale", 4.5)),
+                num_inference_steps=steps,
+                sampler=request.get("sampler", "euler"),
+                batch_size=batch,
+                seed=int(request.get("seed", 0)),
+                text_bucket=self.text_buckets[0],
+            )
+        n = int(duration * result.sample_rate)
+        return {
+            "waveform": np.asarray(result.audio_first)[0, :, :n],  # [C, T] trimmed to request
+            "sample_rate": result.sample_rate,
+            "timings": result.timings,
+        }
+
+
+def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    pcm = (np.clip(waveform, -1, 1) * 32767).astype("<i2")
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(pcm.shape[0])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.T.tobytes())
+    return buf.getvalue()
+
+
+def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 8321) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("http: " + fmt % args)
+
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                payload = {"status": "ok", "warm_buckets": service.warm_buckets}
+                self._send(200, json.dumps(payload).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b'{"error": "not found"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                request = json.loads(self.rfile.read(length) or b"{}")
+                out = service.generate(request)
+                wav = _wav_bytes(out["waveform"], out["sample_rate"])
+                if request.get("response", "wav") == "json":
+                    payload = {
+                        "audio_base64": base64.b64encode(wav).decode(),
+                        "sample_rate": out["sample_rate"],
+                        "timings": out["timings"],
+                    }
+                    self._send(200, json.dumps(payload).encode())
+                else:
+                    self._send(200, wav, ctype="audio/wav")
+            except Exception as e:  # noqa: BLE001 — surface errors to the client
+                logger.warning(f"generate failed: {e}")
+                self._send(500, json.dumps({"error": str(e)}).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    """``python -m foley_tpu.serving.server --model_path ... [--random_init tiny]``"""
+    import argparse
+
+    p = argparse.ArgumentParser("foley-tpu-serve", description=__doc__)
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--random_init", default=None)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--durations", default="5")
+    p.add_argument("--warmup_steps", type=int, default=50)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from foley_tpu.api.nodes import HunyuanModelLoader
+
+    if args.random_init:
+        from foley_tpu.configs import get_config
+        from foley_tpu.models import dac_vae
+
+        fm = HunyuanModelLoader.init_random(args.random_init, args.precision, 0)
+        cfg = get_config(args.random_init)
+        bundle = ModelBundle(
+            mmdit_params=fm["params"],
+            dac_params=dac_vae.init(jax.random.PRNGKey(1), cfg.dac),
+            pipeline_cfg=cfg,
+            compute_dtype=fm["dtype"],
+        )
+        text_encoder = None
+    else:
+        import os
+
+        from foley_tpu.pipeline.standalone import load_model
+
+        manager = load_model(args.model_path, precision=args.precision)
+        bundle = ModelBundle(
+            mmdit_params=manager.foley["params"],
+            dac_params=manager.dac["params"],
+            pipeline_cfg=manager.pipeline_cfg,
+            compute_dtype=manager.foley["dtype"],
+        )
+        text_encoder = manager.clap
+
+    service = FoleyService(
+        bundle, text_encoder,
+        durations=tuple(float(x) for x in args.durations.split(",")),
+    )
+    service.warmup(steps=args.warmup_steps)
+    server = create_server(service, args.host, args.port)
+    logger.info(f"serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
