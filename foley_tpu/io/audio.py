@@ -21,18 +21,17 @@ AUDIO_QUALITY_SETTINGS = {
 
 
 def write_wav(path: str, waveform: np.ndarray, sample_rate: int = 48000) -> None:
-    """Write [C, T] or [T] float waveform in [-1, 1] to 16-bit PCM WAV."""
+    """Write [C, T] or [T] float waveform in [-1, 1] to 16-bit PCM WAV.
+
+    Uses the native C++ PCM/framing path (foley_tpu.io.native) when built."""
     wav = np.asarray(waveform, np.float32)
     if wav.ndim == 1:
         wav = wav[None]
     assert wav.ndim == 2, f"expected [C, T], got {wav.shape}"
-    pcm = np.clip(wav, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
-    with wave.open(path, "wb") as f:
-        f.setnchannels(pcm.shape[0])
-        f.setsampwidth(2)
-        f.setframerate(sample_rate)
-        f.writeframes(pcm.T.tobytes())
+    from foley_tpu.io.native import wav_image
+
+    with open(path, "wb") as f:
+        f.write(wav_image(wav, sample_rate))
 
 
 class MediaProcessingError(RuntimeError):

@@ -115,14 +115,10 @@ class FoleyService:
 
 
 def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
-    buf = io.BytesIO()
-    pcm = (np.clip(waveform, -1, 1) * 32767).astype("<i2")
-    with wave.open(buf, "wb") as f:
-        f.setnchannels(pcm.shape[0])
-        f.setsampwidth(2)
-        f.setframerate(sample_rate)
-        f.writeframes(pcm.T.tobytes())
-    return buf.getvalue()
+    # Native C++ PCM conversion + WAV framing when built (numpy fallback inside).
+    from foley_tpu.io.native import wav_image
+
+    return wav_image(waveform, sample_rate)
 
 
 def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 8321) -> ThreadingHTTPServer:
