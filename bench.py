@@ -21,6 +21,10 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
     import jax
     import jax.numpy as jnp
 
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from foley_tpu.api.nodes import HunyuanModelLoader
     from foley_tpu.configs import get_config
     from foley_tpu.models import dac_vae

@@ -68,6 +68,9 @@ def main(argv=None) -> int:
         return _process_batch(args, logger)
 
     try:
+        from foley_tpu.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if args.random_init:
             foley_model = HunyuanModelLoader.init_random(args.random_init, args.precision, args.seed)
             from foley_tpu.configs import get_config

@@ -95,6 +95,25 @@ def prepare_cfg_features(
     )
 
 
+def apply_drop_visual(
+    mmdit_params: Dict,
+    clip_feat: jnp.ndarray,
+    sync_feat: jnp.ndarray,
+    drop_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Replace per-example visual features with the learned empty sequences where
+    ``drop_mask`` is True (reference ``hifi_foley.py:739-741`` ``drop_visual`` — the
+    structural CFG-uncond mechanism; the sampler instead passes explicit empty sequences)."""
+    b = clip_feat.shape[0]
+    empty_clip = mmdit.get_empty_clip_sequence(mmdit_params, b, clip_feat.shape[1]).astype(clip_feat.dtype)
+    empty_sync = mmdit.get_empty_sync_sequence(mmdit_params, b, sync_feat.shape[1]).astype(sync_feat.dtype)
+    m = drop_mask.reshape(b, 1, 1)
+    return (
+        jnp.where(m, empty_clip, clip_feat),
+        jnp.where(m, empty_sync, sync_feat),
+    )
+
+
 def resample_frames(
     frames: np.ndarray,
     source_fps: float,

@@ -182,6 +182,9 @@ def main(argv=None) -> int:
     import jax
 
     from foley_tpu.api.nodes import HunyuanModelLoader
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.random_init:
         from foley_tpu.configs import get_config
