@@ -62,7 +62,12 @@ class HunyuanModelLoader:
 
     def load_model(self, model_name: str, precision: str = "auto",
                    quantization: str = "none", config: str = "xxl"):
+        import os
+
         cfg = get_config(config)
+        if os.path.isdir(model_name):
+            # pre-converted orbax artifact (python -m foley_tpu.io.convert)
+            return self._load_orbax(model_name, precision, quantization, cfg)
         sd = load_torch_state_dict(model_name)
         ckpt_fp8 = detect_ckpt_fp8(sd)
         major = detect_ckpt_major_precision(sd)
@@ -87,6 +92,30 @@ class HunyuanModelLoader:
                 f"{saved / 2**30:.2f} GiB saved ({qmode})"
             )
         logger.info(f"MMDiT loaded: {param_bytes(params) / 2**30:.2f} GiB resident ({precision})")
+        return ({"params": params, "cfg": cfg, "dtype": dtype},)
+
+    def _load_orbax(self, path: str, precision: str, quantization: str, cfg: PipelineConfig):
+        from foley_tpu.core.dtypes import FP8_DTYPES
+        from foley_tpu.io.orbax_io import load_params
+
+        params = load_params(path)
+        if precision == "auto":
+            import numpy as np
+
+            sizes: Dict[str, int] = {}
+            for leaf in jax.tree.leaves(params):
+                name = str(leaf.dtype)
+                key = {"bfloat16": "bf16", "float16": "fp16", "float32": "fp32"}.get(name)
+                if key:
+                    sizes[key] = sizes.get(key, 0) + int(np.prod(leaf.shape))
+            precision = max(sizes, key=sizes.get) if sizes else "bf16"
+        dtype = resolve_dtype(precision)
+        params = cast_params(params, dtype, predicate=lambda p, l: l.dtype not in FP8_DTYPES)
+        if quantization != "none":
+            qmode = "fp8_e4m3fn" if quantization == "auto" else quantization
+            params, counts, saved = quantize_fp8(params, qmode)
+            logger.info(f"fp8 wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
+        logger.info(f"MMDiT loaded from orbax: {param_bytes(params) / 2**30:.2f} GiB ({precision})")
         return ({"params": params, "cfg": cfg, "dtype": dtype},)
 
     @staticmethod

@@ -124,13 +124,15 @@ def _ln(p, x, eps):
     return layer_norm(x, p["weight"], p["bias"], eps=eps)
 
 
-def _mha(q, k, v, nh):
+def _mha(q, k, v, nh, bias=None):
     b, l, dm = q.shape
     hd = dm // nh
     q, k, v = (u.reshape(b, l, nh, hd) for u in (q, k, v))
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
                         precision=prec) / (hd ** 0.5)
+    if bias is not None:
+        logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=prec).reshape(b, l, dm)
 
@@ -150,18 +152,39 @@ def _patchify_spec(spec_tf: jnp.ndarray, cfg: ASTConfig) -> jnp.ndarray:
     return patches.reshape(b, f_n * t_n, p * p)
 
 
-def apply(params: Dict, spec_tf: jnp.ndarray, cfg: ASTConfig) -> jnp.ndarray:
-    """spec_tf: [B, T=max_length, F=num_mel_bins] -> last_hidden_state [B, 2+f*t, D]."""
+def token_mask_from_cont_mask(cont_mask: jnp.ndarray, cfg: ASTConfig) -> jnp.ndarray:
+    """Continuous spec mask [B, T, F] (0 = masked) -> token keep-mask [B, 2+f*t] (True = keep).
+
+    A patch token is kept iff any of its spectrogram cells is unmasked; CLS/distill always
+    kept — the capability the reference adds to HF AST via the inf/nan patch trick
+    (``modeling_ast.py:525-544``)."""
+    patches = _patchify_spec(cont_mask.astype(jnp.float32), cfg)  # [B, f*t, P*P]
+    keep = jnp.any(patches > 0, axis=-1)
+    b = keep.shape[0]
+    aux = jnp.ones((b, 2), bool)
+    return jnp.concatenate([aux, keep], axis=1)
+
+
+def apply(params: Dict, spec_tf: jnp.ndarray, cfg: ASTConfig,
+          token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """spec_tf: [B, T=max_length, F=num_mel_bins] -> last_hidden_state [B, 2+f*t, D].
+
+    ``token_mask``: optional [B, 2+f*t] keep-mask (see ``token_mask_from_cont_mask``);
+    masked tokens neither attend nor are attended to.
+    """
     x = apply_dense(params["patch_proj"], _patchify_spec(spec_tf, cfg))
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, x.shape[-1]))
     dist = jnp.broadcast_to(params["distillation_token"].astype(x.dtype), (b, 1, x.shape[-1]))
     x = jnp.concatenate([cls, dist, x], axis=1) + params["position_embeddings"].astype(x.dtype)
     eps = cfg.layer_norm_eps
+    bias = None
+    if token_mask is not None:
+        bias = jnp.where(token_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
     for layer in params["layers"]:
         xn = _ln(layer["ln_before"], x, eps)
         attn = _mha(apply_dense(layer["q"], xn), apply_dense(layer["k"], xn),
-                    apply_dense(layer["v"], xn), cfg.num_attention_heads)
+                    apply_dense(layer["v"], xn), cfg.num_attention_heads, bias=bias)
         x = x + apply_dense(layer["attn_out"], attn)
         xn = _ln(layer["ln_after"], x, eps)
         x = x + apply_dense(layer["out"], jax.nn.gelu(apply_dense(layer["inter"], xn), approximate=False))

@@ -179,3 +179,21 @@ def test_sync_scorer_gpt_block_matches_torch():
          "q": jl(qw), "k": jl(kw), "v": jl(vw), "proj": jl(pw), "fc1": jl(fc1), "fc2": jl(fc2)}
     got = sync_scorer._block(p, jnp.asarray(x.numpy()), nh)
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_ast_token_mask(ast_pair):
+    """cont_mask -> token-mask capability (reference modeling_ast.py:525-544)."""
+    _, params, cfg = ast_pair
+    rng = np.random.default_rng(5)
+    spec = jnp.asarray(rng.normal(size=(1, cfg.max_length, cfg.num_mel_bins)).astype(np.float32))
+    tm = ast_mod.token_mask_from_cont_mask(
+        jnp.ones((1, cfg.max_length, cfg.num_mel_bins)), cfg
+    )
+    assert tm.shape == (1, cfg.freq_patches * cfg.time_patches + 2)
+    full = ast_mod.apply(params, spec, cfg)
+    np.testing.assert_allclose(
+        np.asarray(ast_mod.apply(params, spec, cfg, token_mask=tm)),
+        np.asarray(full), atol=1e-5,
+    )
+    partial = ast_mod.apply(params, spec, cfg, token_mask=tm.at[:, 5:].set(False))
+    assert np.abs(np.asarray(partial) - np.asarray(full)).max() > 1e-4
