@@ -128,3 +128,18 @@ def test_compile_tracker():
     f(jnp.ones((2,)))      # cache hit
     f(jnp.ones((3,)))      # new bucket
     assert tracker.compiles.get("square", 0) >= 1
+
+
+def test_spectral_correlation_metric():
+    from foley_tpu.utils.metrics import snr_db, spectral_correlation
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 48000)
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    assert spectral_correlation(x, x) == pytest.approx(1.0, abs=1e-6)
+    noisy = x + 0.01 * rng.normal(size=x.shape).astype(np.float32)
+    assert spectral_correlation(x, noisy) > 0.99
+    other = np.sin(2 * np.pi * 523 * t).astype(np.float32)
+    assert spectral_correlation(x, other) < 0.9
+    # sine power 0.5 over noise power 1e-4 -> 10*log10(5000) = 37.0 dB
+    assert snr_db(noisy, x) == pytest.approx(37.0, abs=1.0)
