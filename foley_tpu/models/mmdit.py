@@ -237,11 +237,15 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 class RopeTables(NamedTuple):
     """All RoPE tables used by one forward pass, precomputed from static lengths."""
 
-    joint: tuple          # interleaved table [2*T_audio, D] (or per-stream pair)
+    joint: tuple          # interleaved table [2*T_audio, D] (fallback path)
     v_joint: Optional[tuple]  # visual-stream table when not interleaved
     audio: tuple          # plain audio table [T_audio, D] (single blocks + cross-attn q)
     visual_cross: tuple   # [L_visual, D] cross-attn q table
     text: tuple           # [L_text, D] cross-attn k table
+    # Decomposed interleaved tables (see build_rope_tables): rotation applied per stream
+    # without materializing the interleaved sequence. None when not applicable.
+    audio_joint: Optional[tuple] = None   # even rows of the interleaved table
+    visual_joint: Optional[tuple] = None  # odd rows gathered at the decouple positions
 
 
 def build_rope_tables(
@@ -249,15 +253,45 @@ def build_rope_tables(
 ) -> RopeTables:
     """Precompute every table (reference builds these per forward, ``hifi_foley.py:634-687``).
 
+    Interleaved-RoPE decomposition: the reference interleaves [audio; visual-resized] tokens,
+    rotates with a 2T table, then decouples with a second nearest-exact resize
+    (``hifi_foley.py:236-251``). Because rotation is positionwise, the round trip equals
+    rotating each stream directly — audio with the even rows, visual with the odd rows
+    gathered at the decouple positions — whenever up-then-down nearest-exact resampling is
+    the identity (always true here: visual_len <= audio_len, so every visual index is hit).
+    The identity is checked statically at trace time; if it ever fails the exact
+    interleave/decouple path runs instead. This removes two resizes + the stack/reshape per
+    q and k per triple block.
+
     The visual stream's non-interleaved table is frequency-rescaled by audio_len/visual_len
     (mmaudio-style, reference ``hifi_foley.py:666``).
     """
+    import numpy as np
+
+    def np_nearest_idx(in_len: int, out_len: int) -> np.ndarray:
+        # numpy twin of ops.interp.nearest_exact_indices — must stay host-side so these
+        # static gather indices never become tracers under jit.
+        idx = np.floor((np.arange(out_len, dtype=np.float32) + 0.5) * (in_len / out_len))
+        return np.clip(idx.astype(np.int32), 0, in_len - 1)
+
     d = cfg.head_dim
     theta = cfg.rope_theta
     audio = rope_table(audio_len, d, theta)
+    audio_joint = visual_joint = None
     if cfg.interleaved_audio_visual_rope:
         joint = rope_table(audio_len * 2, d, theta)
         v_joint = None
+        if visual_len == audio_len:
+            g2 = np.arange(audio_len)
+            identity = True
+        else:
+            g1 = np_nearest_idx(visual_len, audio_len)  # upsample gather
+            g2 = np_nearest_idx(audio_len, visual_len)  # decouple gather
+            identity = bool(np.array_equal(g1[g2], np.arange(visual_len)))
+        if identity:
+            cos, sin = joint
+            audio_joint = (cos[0::2], sin[0::2])
+            visual_joint = (cos[1::2][g2], sin[1::2][g2])
     else:
         joint = audio
         v_joint = rope_table(visual_len, d, theta, freq_scaling=audio_len / visual_len)
@@ -267,6 +301,8 @@ def build_rope_tables(
         audio=audio,
         visual_cross=rope_table(visual_len, d, theta),
         text=rope_table(text_len, d, theta),
+        audio_joint=audio_joint,
+        visual_joint=visual_joint,
     )
 
 
@@ -308,14 +344,22 @@ def triple_block_apply(
     v_k = _qk_norm(params["v_cond_attn_k_norm"], v_k, eps)
 
     if cfg.interleaved_audio_visual_rope:
-        # Interleave audio/visual tokens, rotate with the 2T table, decouple
-        # (reference hifi_foley.py:236-251).
-        q_i = interleave_sequences(a_q, v_q)
-        k_i = interleave_sequences(a_k, v_k)
-        q_i = apply_rotary_emb(q_i, *ropes.joint)
-        k_i = apply_rotary_emb(k_i, *ropes.joint)
-        a_q, v_q = decouple_interleaved(q_i, audio_len, visual_len)
-        a_k, v_k = decouple_interleaved(k_i, audio_len, visual_len)
+        if ropes.audio_joint is not None:
+            # Decomposed equivalent of interleave -> rotate -> decouple (see
+            # build_rope_tables): per-stream rotation with precomputed row-gathered tables.
+            a_q = apply_rotary_emb(a_q, *ropes.audio_joint)
+            a_k = apply_rotary_emb(a_k, *ropes.audio_joint)
+            v_q = apply_rotary_emb(v_q, *ropes.visual_joint)
+            v_k = apply_rotary_emb(v_k, *ropes.visual_joint)
+        else:
+            # Exact fallback: interleave audio/visual tokens, rotate with the 2T table,
+            # decouple (reference hifi_foley.py:236-251).
+            q_i = interleave_sequences(a_q, v_q)
+            k_i = interleave_sequences(a_k, v_k)
+            q_i = apply_rotary_emb(q_i, *ropes.joint)
+            k_i = apply_rotary_emb(k_i, *ropes.joint)
+            a_q, v_q = decouple_interleaved(q_i, audio_len, visual_len)
+            a_k, v_k = decouple_interleaved(k_i, audio_len, visual_len)
     else:
         a_q = apply_rotary_emb(a_q, *ropes.joint)
         a_k = apply_rotary_emb(a_k, *ropes.joint)
