@@ -5,6 +5,8 @@ service: a thread-safe ``FoleyService`` wrapping the model bundle with AOT compi
 over declared (duration, batch, text-bucket) shape buckets (so the first request is never
 paused by XLA compilation), plus a stdlib HTTP server exposing:
 
+- ``GET /``                   -> minimal web UI (prompt box -> audio player; the reference
+  CLI's --gradio mode analog, ``cli.py:88-96``)
 - ``GET /healthz``            -> {"status": "ok", "warm_buckets": [...]}
 - ``POST /generate``          -> WAV bytes (audio/wav) or JSON with base64 audio
   body: {"prompt": str, "negative_prompt": str, "duration": float, "steps": int,
@@ -121,6 +123,37 @@ def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
     return wav_image(waveform, sample_rate)
 
 
+_INDEX_HTML = b"""<!doctype html>
+<html><head><meta charset="utf-8"><title>foley-tpu</title>
+<style>body{font-family:sans-serif;max-width:640px;margin:3em auto;padding:0 1em}
+label{display:block;margin:.6em 0 .2em}input,select{width:100%;padding:.4em}
+button{margin-top:1em;padding:.6em 1.4em}#status{margin-top:1em;color:#555}</style></head>
+<body><h2>foley-tpu &mdash; text &rarr; Foley audio</h2>
+<label>Prompt</label><input id="prompt" value="rain on a tin roof">
+<label>Negative prompt</label><input id="neg" value="noisy, harsh">
+<label>Duration (s)</label><input id="dur" type="number" value="5" min="1" max="60">
+<label>Steps</label><input id="steps" type="number" value="50" min="10" max="100">
+<label>CFG scale</label><input id="cfg" type="number" value="4.5" step="0.5" min="1" max="10">
+<label>Seed</label><input id="seed" type="number" value="0">
+<button onclick="gen()">Generate</button>
+<div id="status"></div><audio id="player" controls style="width:100%;margin-top:1em"></audio>
+<script>
+async function gen(){
+  const s=document.getElementById('status');s.textContent='generating...';
+  const body={prompt:prompt_el('prompt'),negative_prompt:prompt_el('neg'),
+    duration:+prompt_el('dur'),steps:+prompt_el('steps'),cfg_scale:+prompt_el('cfg'),
+    seed:+prompt_el('seed')};
+  const r=await fetch('/generate',{method:'POST',body:JSON.stringify(body)});
+  if(!r.ok){s.textContent='error: '+await r.text();return;}
+  const blob=await r.blob();
+  document.getElementById('player').src=URL.createObjectURL(blob);
+  s.textContent='done';
+}
+function prompt_el(id){return document.getElementById(id).value}
+</script></body></html>
+"""
+
+
 def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 8321) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -137,6 +170,8 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
             if self.path == "/healthz":
                 payload = {"status": "ok", "warm_buckets": service.warm_buckets}
                 self._send(200, json.dumps(payload).encode())
+            elif self.path in ("/", "/index.html"):
+                self._send(200, _INDEX_HTML, ctype="text/html; charset=utf-8")
             else:
                 self._send(404, b'{"error": "not found"}')
 

@@ -89,3 +89,10 @@ def test_unknown_route(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_index_page(server):
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        body = r.read().decode()
+    assert r.headers["Content-Type"].startswith("text/html")
+    assert "/generate" in body and "foley-tpu" in body
