@@ -20,10 +20,8 @@ warmed bucket set to avoid recompiles in production.
 from __future__ import annotations
 
 import base64
-import io
 import json
 import threading
-import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Sequence, Tuple
 
