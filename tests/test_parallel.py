@@ -104,3 +104,32 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 2
     ge.dryrun_multichip(8)
+
+
+def test_sharded_generate_end_to_end():
+    """Full generation (denoise + decode) with a TP+DP-sharded bundle on the virtual mesh
+    matches the single-device result."""
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae
+    from foley_tpu.parallel.inference import shard_bundle, sharded_generate
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), CFG),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.normal(size=(1, 10, CFG.condition_dim)).astype(np.float32))
+    kw = dict(duration_s=1.0, guidance_scale=4.5, num_inference_steps=2,
+              batch_size=2, seed=5, text_bucket=16)
+
+    ref = generate_audio(bundle, text, text, **kw)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_bundle(bundle, mesh)
+    got = sharded_generate(sharded, mesh, text, text, **kw)
+
+    assert got.audio_batch.shape == ref.audio_batch.shape
+    np.testing.assert_allclose(got.audio_batch, ref.audio_batch, atol=5e-4, rtol=1e-2)
