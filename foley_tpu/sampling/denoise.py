@@ -43,6 +43,7 @@ class DenoiseFeatures(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
+        "begin_index",
     ),
 )
 def denoise_latents(
@@ -58,11 +59,15 @@ def denoise_latents(
     use_cfg: bool = True,
     attn_impl: str = "xla",
     compute_dtype=jnp.bfloat16,
+    begin_index: int = 0,
 ) -> jnp.ndarray:
     """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
 
     ``guidance_scale`` is traced (no recompile when the user moves the CFG slider);
     ``use_cfg`` (guidance_scale > 1, controls the batching structure) is static.
+    ``begin_index`` starts mid-schedule (the reference's ``set_begin_index`` /
+    ``index_for_timestep`` img2img capability, ``scheduling_flow_match_discrete.py:106-192``):
+    pass latents already noised to ``sigmas[begin_index]`` for audio-to-audio editing.
     """
     sigmas = get_sigmas(
         num_steps,
@@ -74,6 +79,8 @@ def denoise_latents(
         n_tokens=latents.shape[1] if diffusion.use_flux_shift else None,
     )
     timesteps = get_timesteps(sigmas, diffusion.num_train_timesteps)
+    if begin_index:
+        timesteps = timesteps[begin_index:]
 
     cond = features.cond.astype(compute_dtype)
     clip_feat = features.clip_feat.astype(compute_dtype)
@@ -95,7 +102,10 @@ def denoise_latents(
         lat, state = solver_step(solver, state, v, lat, sigmas)
         return (lat, state), None
 
-    init = (latents.astype(jnp.float32), solver_init(solver, latents.shape))
+    state0 = solver_init(solver, latents.shape)
+    if begin_index:
+        state0 = state0._replace(step_index=jnp.int32(begin_index))
+    init = (latents.astype(jnp.float32), state0)
     (final_latents, _), _ = jax.lax.scan(step_fn, init, timesteps)
     return final_latents
 

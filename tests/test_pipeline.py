@@ -146,3 +146,35 @@ def test_select_audio_clamps():
     batch = np.arange(6).reshape(3, 1, 2).astype(np.float32)
     np.testing.assert_array_equal(select_audio_from_batch(batch, 10), batch[2:3])
     np.testing.assert_array_equal(select_audio_from_batch(batch, -3), batch[0:1])
+
+
+def test_begin_index_partial_denoise(bundle):
+    """Mid-schedule start (img2img analog): running steps [k..N) from the intermediate
+    latents of a full run must reproduce the full run's final latents."""
+    from foley_tpu.sampling.denoise import DenoiseFeatures, denoise_latents
+    from foley_tpu.sampling.flow_match import get_sigmas, get_timesteps, solver_init, solver_step
+    from foley_tpu.models import mmdit as mmdit_mod
+
+    rng = np.random.default_rng(0)
+    lat0 = jnp.asarray(rng.normal(size=(1, 20, CFG.model.audio_vae_latent_dim)).astype(np.float32))
+    feats = DenoiseFeatures(
+        cond=jnp.asarray(rng.normal(size=(1, 8, CFG.model.condition_dim)).astype(np.float32)),
+        clip_feat=jnp.asarray(rng.normal(size=(1, 4, CFG.model.clip_dim)).astype(np.float32)),
+        sync_feat=jnp.asarray(rng.normal(size=(1, 8, CFG.model.sync_feat_dim)).astype(np.float32)),
+    )
+    kw = dict(cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver="euler",
+              use_cfg=False, compute_dtype=jnp.float32)
+    g = jnp.float32(1.0)
+    full = denoise_latents(bundle.mmdit_params, lat0, feats, g, **kw)
+    # manually run the first 2 steps, then resume with begin_index=2
+    sigmas = get_sigmas(4)
+    timesteps = get_timesteps(sigmas)
+    lat = lat0
+    state = solver_init("euler", lat0.shape)
+    for i in range(2):
+        v = mmdit_mod.apply(bundle.mmdit_params, lat.astype(jnp.float32),
+                            jnp.broadcast_to(timesteps[i], (1,)), feats.cond,
+                            feats.clip_feat, feats.sync_feat, CFG.model)
+        lat, state = solver_step("euler", state, v, lat, sigmas)
+    resumed = denoise_latents(bundle.mmdit_params, lat, feats, g, begin_index=2, **kw)
+    np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), atol=1e-5, rtol=1e-4)
