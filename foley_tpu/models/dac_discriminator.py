@@ -49,17 +49,16 @@ def _init_conv1d(key, cin, cout, k, groups=1, dtype=jnp.float32):
 _MPD_CHANNELS = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
 
 
-def init_mpd(key, period: int, dtype=jnp.float32) -> Dict:
+def init_mpd(key, dtype=jnp.float32) -> Dict:
     keys = jax.random.split(key, len(_MPD_CHANNELS) + 1)
     convs = [_init_conv2d(k, cin, cout, 5, 1, dtype) for k, (cin, cout) in zip(keys, _MPD_CHANNELS)]
-    return {"period": period, "convs": convs,
-            "post": _init_conv2d(keys[-1], 1024, 1, 3, 1, dtype)}
+    return {"convs": convs, "post": _init_conv2d(keys[-1], 1024, 1, 3, 1, dtype)}
 
 
-def apply_mpd(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+def apply_mpd(params: Dict, x: jnp.ndarray, period: int) -> List[jnp.ndarray]:
     """x: [B, T, 1] -> feature maps. Reshapes to [B, T/p, p, 1] then 2-D convs with
-    (stride 3, 1) over the length axis (reference ``discriminator.py:27-62``)."""
-    period = params["period"]
+    (stride 3, 1) over the length axis (reference ``discriminator.py:27-62``). ``period``
+    is static (kept out of the param tree so jax.grad sees only float leaves)."""
     t = x.shape[1]
     pad = period - t % period
     x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
@@ -89,17 +88,17 @@ _MSD_SPECS = [  # (cin, cout, k, stride, groups, pad)
 ]
 
 
-def init_msd(key, rate: int = 1, dtype=jnp.float32) -> Dict:
+def init_msd(key, dtype=jnp.float32) -> Dict:
     keys = jax.random.split(key, len(_MSD_SPECS) + 1)
     convs = [_init_conv1d(k, cin, cout, ksz, groups, dtype)
              for k, (cin, cout, ksz, _, groups, _) in zip(keys, _MSD_SPECS)]
-    return {"rate": rate, "convs": convs, "post": _init_conv1d(keys[-1], 1024, 1, 3, dtype=dtype)}
+    return {"convs": convs, "post": _init_conv1d(keys[-1], 1024, 1, 3, dtype=dtype)}
 
 
-def apply_msd(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+def apply_msd(params: Dict, x: jnp.ndarray, rate: int = 1) -> List[jnp.ndarray]:
     """x: [B, T, 1]. rate>1 downsampling uses strided average pooling (the reference resamples
-    with a polyphase filter via audiotools; average pooling is the alias-safe stand-in)."""
-    rate = params["rate"]
+    with a polyphase filter via audiotools; average pooling is the alias-safe stand-in).
+    ``rate`` is static."""
     if rate > 1:
         t = (x.shape[1] // rate) * rate
         x = jnp.mean(x[:, :t].reshape(x.shape[0], -1, rate, x.shape[2]), axis=2)
@@ -116,10 +115,13 @@ def apply_msd(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
 # MRD
 # ---------------------------------------------------------------------------------
 
-def init_mrd(key, window_length: int, dtype=jnp.float32, bands: Sequence = BANDS) -> Dict:
-    ch = 32
+def mrd_band_indices(window_length: int, bands: Sequence = BANDS):
     n_fft_bins = window_length // 2 + 1
-    band_idx = [(int(b0 * n_fft_bins), int(b1 * n_fft_bins)) for b0, b1 in bands]
+    return [(int(b0 * n_fft_bins), int(b1 * n_fft_bins)) for b0, b1 in bands]
+
+
+def init_mrd(key, dtype=jnp.float32, bands: Sequence = BANDS) -> Dict:
+    ch = 32
     keys = jax.random.split(key, len(bands) * 5 + 1)
     band_convs = []
     ki = 0
@@ -133,8 +135,7 @@ def init_mrd(key, window_length: int, dtype=jnp.float32, bands: Sequence = BANDS
         ]
         ki += 5
         band_convs.append(convs)
-    return {"window_length": window_length, "bands": band_idx, "band_convs": band_convs,
-            "post": _init_conv2d(keys[-1], ch, 1, 3, 3, dtype)}
+    return {"band_convs": band_convs, "post": _init_conv2d(keys[-1], ch, 1, 3, 3, dtype)}
 
 
 def _complex_spectrogram(x: jnp.ndarray, window_length: int) -> jnp.ndarray:
@@ -151,13 +152,14 @@ def _complex_spectrogram(x: jnp.ndarray, window_length: int) -> jnp.ndarray:
     return jnp.stack([spec.real, spec.imag], axis=-1)
 
 
-def apply_mrd(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+def apply_mrd(params: Dict, x: jnp.ndarray, window_length: int,
+              bands: Sequence = BANDS) -> List[jnp.ndarray]:
     """x: [B, T, 1] -> feature maps over 5 frequency bands + merged post conv
-    (reference ``discriminator.py:101-172``)."""
-    spec = _complex_spectrogram(x[..., 0], params["window_length"])  # [B, t, f, 2]
+    (reference ``discriminator.py:101-172``). ``window_length``/``bands`` are static."""
+    spec = _complex_spectrogram(x[..., 0], window_length)  # [B, t, f, 2]
     fmap = []
     outs = []
-    for (b0, b1), convs in zip(params["bands"], params["band_convs"]):
+    for (b0, b1), convs in zip(mrd_band_indices(window_length, bands), params["band_convs"]):
         band = spec[:, :, b0:b1, :]  # [B, t, f_band, 2] (NHWC with C=2)
         for i, conv in enumerate(convs):
             if i == 0:
@@ -189,9 +191,9 @@ class DiscriminatorConfig:
 def init(key, cfg: DiscriminatorConfig, dtype=jnp.float32) -> Dict:
     keys = iter(jax.random.split(key, len(cfg.periods) + len(cfg.rates) + len(cfg.fft_sizes)))
     return {
-        "mpd": [init_mpd(next(keys), p, dtype) for p in cfg.periods],
-        "msd": [init_msd(next(keys), r, dtype) for r in cfg.rates],
-        "mrd": [init_mrd(next(keys), f, dtype) for f in cfg.fft_sizes],
+        "mpd": [init_mpd(next(keys), dtype) for _ in cfg.periods],
+        "msd": [init_msd(next(keys), dtype) for _ in cfg.rates],
+        "mrd": [init_mrd(next(keys), dtype) for _ in cfg.fft_sizes],
     }
 
 
@@ -202,10 +204,12 @@ def preprocess(y: jnp.ndarray) -> jnp.ndarray:
     return 0.8 * y / (peak + 1e-9)
 
 
-def apply(params: Dict, x: jnp.ndarray) -> List[List[jnp.ndarray]]:
-    """x: [B, T, 1] waveform -> list of per-discriminator feature-map pyramids."""
+def apply(params: Dict, x: jnp.ndarray,
+          cfg: DiscriminatorConfig = DiscriminatorConfig()) -> List[List[jnp.ndarray]]:
+    """x: [B, T, 1] waveform -> list of per-discriminator feature-map pyramids.
+    ``cfg`` supplies the static periods/rates/fft sizes matching ``init``."""
     x = preprocess(x)
-    fmaps = [apply_mpd(p, x) for p in params["mpd"]]
-    fmaps += [apply_msd(p, x) for p in params["msd"]]
-    fmaps += [apply_mrd(p, x) for p in params["mrd"]]
+    fmaps = [apply_mpd(p, x, period) for p, period in zip(params["mpd"], cfg.periods)]
+    fmaps += [apply_msd(p, x, rate) for p, rate in zip(params["msd"], cfg.rates)]
+    fmaps += [apply_mrd(p, x, w) for p, w in zip(params["mrd"], cfg.fft_sizes)]
     return fmaps

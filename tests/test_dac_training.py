@@ -129,7 +129,7 @@ def test_discriminator_shapes_and_grads():
     )
     params = dac_discriminator.init(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4000, 1)).astype(np.float32) * 0.1)
-    fmaps = dac_discriminator.apply(params, x)
+    fmaps = dac_discriminator.apply(params, x, cfg)
     assert len(fmaps) == 4  # 2 MPD + 1 MSD + 1 MRD
     for pyramid in fmaps:
         assert len(pyramid) >= 5
@@ -137,7 +137,7 @@ def test_discriminator_shapes_and_grads():
             assert np.all(np.isfinite(np.asarray(fm)))
 
     def gen_loss(xx):
-        return dac_losses.generator_adv_loss(dac_discriminator.apply(params, xx))
+        return dac_losses.generator_adv_loss(dac_discriminator.apply(params, xx, cfg))
 
     g = jax.grad(gen_loss)(x)
     assert np.any(np.asarray(g) != 0)
@@ -160,3 +160,37 @@ def test_compress_decompress_roundtrip(tmp_path):
     wav = dac_codec.decompress(params, loaded, cfg)
     assert wav.shape == (t,)
     assert np.all(np.isfinite(wav))
+
+
+def test_dac_gan_train_step_runs_and_improves():
+    """Assembled G/D train steps on the tiny codec: finite losses, both updated, recon
+    losses trend down over a few steps on a fixed batch."""
+    from foley_tpu.models.dac_discriminator import DiscriminatorConfig
+    from foley_tpu.training.dac_train import make_dac_train_steps
+
+    cfg = TINY.dac
+    disc_cfg = DiscriminatorConfig(periods=(2,), rates=(), fft_sizes=(512,),
+                                   sample_rate=cfg.sample_rate)
+    init_state, train_step = make_dac_train_steps(
+        cfg, disc_cfg, gen_lr=1e-3, disc_lr=1e-3,
+        stft_windows=(512,), mel_cfg=((40, 512),),
+    )
+    gen_params = dac_vae.init(jax.random.PRNGKey(0), cfg)
+    disc_params = dac_discriminator.init(jax.random.PRNGKey(1), disc_cfg)
+    state = init_state(gen_params, disc_params)
+
+    t = 2 * cfg.hop_length
+    audio = jnp.asarray(
+        0.3 * np.sin(2 * np.pi * 220 * np.arange(t) / cfg.sample_rate)
+    ).reshape(1, t, 1).astype(jnp.float32)
+
+    step = jax.jit(train_step)
+    first_mel = None
+    for i in range(4):
+        state, metrics = step(state, audio, jax.random.PRNGKey(10 + i))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        if first_mel is None:
+            first_mel = float(metrics["mel"])
+    assert int(state.step) == 4
+    assert float(metrics["mel"]) < first_mel  # recon improving on the fixed batch
