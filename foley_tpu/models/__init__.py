@@ -1,3 +1,27 @@
-from foley_tpu.models import mmdit
+from foley_tpu.models import (
+    ast,
+    clap,
+    dac_codec,
+    dac_discriminator,
+    dac_losses,
+    dac_vae,
+    mmdit,
+    quantize,
+    siglip2,
+    sync_scorer,
+    synchformer,
+)
 
-__all__ = ["mmdit"]
+__all__ = [
+    "ast",
+    "clap",
+    "dac_codec",
+    "dac_discriminator",
+    "dac_losses",
+    "dac_vae",
+    "mmdit",
+    "quantize",
+    "siglip2",
+    "sync_scorer",
+    "synchformer",
+]
