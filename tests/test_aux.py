@@ -143,3 +143,20 @@ def test_spectral_correlation_metric():
     assert spectral_correlation(x, other) < 0.9
     # sine power 0.5 over noise power 1e-4 -> 10*log10(5000) = 37.0 dB
     assert snr_db(noisy, x) == pytest.approx(37.0, abs=1.0)
+
+
+def test_orbax_sharded_restore(tmp_path):
+    """Restore directly onto mesh shardings (multi-chip checkpoint load path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from foley_tpu.io.orbax_io import load_params, save_params
+    from foley_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    params = {"w": jnp.arange(32, dtype=jnp.float32).reshape(4, 8)}
+    path = str(tmp_path / "ck")
+    save_params(path, params)
+    shardings = {"w": NamedSharding(mesh, P(None, "model"))}
+    restored = load_params(path, template=params, shardings=shardings)
+    assert restored["w"].sharding == shardings["w"]
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(params["w"]))
