@@ -334,12 +334,43 @@ def triple_block_apply(
     a_in = modulate(layer_norm(audio), a1_shift, a1_scale)
     a_qkv = apply_dense(params["audio_self_attn_qkv"], a_in)
     a_q, a_k, a_v = (_split_heads(u, nh) for u in jnp.split(a_qkv, 3, axis=-1))
-    a_q = _qk_norm(params["audio_self_q_norm"], a_q, eps)
-    a_k = _qk_norm(params["audio_self_k_norm"], a_k, eps)
 
     v_in = modulate(layer_norm(v_cond), v1_shift, v1_scale)
     v_qkv = apply_dense(params["v_cond_attn_qkv"], v_in)
     v_q, v_k, v_v = (_split_heads(u, nh) for u in jnp.split(v_qkv, 3, axis=-1))
+
+    if (attn_impl == "pallas_fused" and cfg.qk_norm
+            and cfg.interleaved_audio_visual_rope and ropes.audio_joint is not None):
+        # Fully fused joint attention: per-position norm-weight/RoPE tables over the
+        # [v_cond; audio] concat, qk-RMSNorm + rotation + SDPA in one Pallas kernel.
+        from foley_tpu.ops.pallas.fused_attention import fused_qk_attention
+
+        def cat_tab(v_vec, a_vec):
+            return jnp.concatenate([
+                jnp.broadcast_to(v_vec, (visual_len, v_vec.shape[-1])),
+                jnp.broadcast_to(a_vec, (audio_len, a_vec.shape[-1])),
+            ], axis=0)
+
+        wq = cat_tab(params["v_cond_attn_q_norm"]["weight"], params["audio_self_q_norm"]["weight"])
+        wk = cat_tab(params["v_cond_attn_k_norm"]["weight"], params["audio_self_k_norm"]["weight"])
+        a_cos, a_sin = ropes.audio_joint
+        v_cos, v_sin = ropes.visual_joint
+        cos = jnp.concatenate([v_cos, a_cos], axis=0)
+        sin = jnp.concatenate([v_sin, a_sin], axis=0)
+        q = jnp.concatenate([v_q, a_q], axis=1)
+        k = jnp.concatenate([v_k, a_k], axis=1)
+        v = jnp.concatenate([v_v, a_v], axis=1)
+        attn = fused_qk_attention(q, k, v, wq, wk, cos, sin, cos, sin, eps=eps)
+        v_attn, a_attn = attn[:, :visual_len], attn[:, visual_len:]
+        audio = audio + apply_gate(apply_dense(params["audio_self_proj"], _merge_heads(a_attn)), a1_gate)
+        v_cond = v_cond + apply_gate(apply_dense(params["v_cond_self_proj"], _merge_heads(v_attn)), v1_gate)
+        return _triple_block_tail(params, audio, cond, v_cond, ropes, cfg,
+                                  (a2_shift, a2_scale, a2_gate, a3_shift, a3_scale, a3_gate),
+                                  (v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate),
+                                  attn_impl)
+
+    a_q = _qk_norm(params["audio_self_q_norm"], a_q, eps)
+    a_k = _qk_norm(params["audio_self_k_norm"], a_k, eps)
     v_q = _qk_norm(params["v_cond_attn_q_norm"], v_q, eps)
     v_k = _qk_norm(params["v_cond_attn_k_norm"], v_k, eps)
 
@@ -370,11 +401,27 @@ def triple_block_apply(
     q = jnp.concatenate([v_q, a_q], axis=1)
     k = jnp.concatenate([v_k, a_k], axis=1)
     v = jnp.concatenate([v_v, a_v], axis=1)
-    attn = sdpa(q, k, v, mask=attn_mask, impl=attn_impl)
+    attn = sdpa(q, k, v, mask=attn_mask,
+                impl="xla" if attn_impl == "pallas_fused" else attn_impl)
     v_attn, a_attn = attn[:, :visual_len], attn[:, visual_len:]
 
     audio = audio + apply_gate(apply_dense(params["audio_self_proj"], _merge_heads(a_attn)), a1_gate)
     v_cond = v_cond + apply_gate(apply_dense(params["v_cond_self_proj"], _merge_heads(v_attn)), v1_gate)
+
+    return _triple_block_tail(
+        params, audio, cond, v_cond, ropes, cfg,
+        (a2_shift, a2_scale, a2_gate, a3_shift, a3_scale, a3_gate),
+        (v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate),
+        attn_impl,
+    )
+
+
+def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, attn_impl):
+    """Cross-attention vs text + gated MLPs (stages 2-3 of TwoStreamCABlock)."""
+    nh, eps = cfg.num_heads, cfg.qk_norm_eps
+    visual_len = v_cond.shape[1]
+    a2_shift, a2_scale, a2_gate, a3_shift, a3_scale, a3_gate = a_mods
+    v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate = v_mods
 
     # ---- 2. cross-attention: [v_cond; audio] queries vs text k/v ----
     a_in = modulate(layer_norm(audio), a2_shift, a2_scale)
@@ -391,7 +438,7 @@ def triple_block_apply(
     t_k = apply_rotary_emb(t_k, *ropes.text)
 
     q = jnp.concatenate([v_q, a_q], axis=1)
-    cross = sdpa(q, t_k, t_v, impl=attn_impl)
+    cross = sdpa(q, t_k, t_v, impl="xla" if attn_impl == "pallas_fused" else attn_impl)
     v_x, a_x = cross[:, :visual_len], cross[:, visual_len:]
     audio = audio + apply_gate(apply_dense(params["audio_cross_proj"], _merge_heads(a_x)), a2_gate)
     v_cond = v_cond + apply_gate(apply_dense(params["v_cond_cross_proj"], _merge_heads(v_x)), v2_gate)
@@ -424,11 +471,20 @@ def single_block_apply(
     x_n = modulate(layer_norm(x), shift_msa, scale_msa)
     qkv = apply_dense(params["linear_qkv"], x_n)
     q, k, v = (_split_heads(u, nh) for u in jnp.split(qkv, 3, axis=-1))
-    q = rms_norm(q, params["q_norm"]["weight"], eps=eps)
-    k = rms_norm(k, params["k_norm"]["weight"], eps=eps)
-    q = apply_rotary_emb(q, *ropes.audio)
-    k = apply_rotary_emb(k, *ropes.audio)
-    out = _merge_heads(sdpa(q, k, v, impl=attn_impl))
+    if attn_impl == "pallas_fused":
+        from foley_tpu.ops.pallas.fused_attention import fused_qk_attention
+
+        cos, sin = ropes.audio
+        length = cos.shape[0]
+        wq = jnp.broadcast_to(params["q_norm"]["weight"], (length, cfg.head_dim))
+        wk = jnp.broadcast_to(params["k_norm"]["weight"], (length, cfg.head_dim))
+        out = _merge_heads(fused_qk_attention(q, k, v, wq, wk, cos, sin, cos, sin, eps=eps))
+    else:
+        q = rms_norm(q, params["q_norm"]["weight"], eps=eps)
+        k = rms_norm(k, params["k_norm"]["weight"], eps=eps)
+        q = apply_rotary_emb(q, *ropes.audio)
+        k = apply_rotary_emb(k, *ropes.audio)
+        out = _merge_heads(sdpa(q, k, v, impl=attn_impl))
 
     x = x + apply_gate(apply_conv1d(params["linear1"], out, padding=1), gate_msa)
     x_n = modulate(layer_norm(x), shift_mlp, scale_mlp)

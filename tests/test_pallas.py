@@ -33,3 +33,68 @@ def test_flash_attention_mask_fallback():
     ref = _sdpa_xla(q, q, q, mask)
     got = flash_attention(q, q, q, mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_qk_attention_matches_composed():
+    """Fused norm+rope+attention kernel == composed rms_norm/rope/sdpa path."""
+    from foley_tpu.ops.norms import rms_norm
+    from foley_tpu.ops.pallas.fused_attention import fused_qk_attention
+    from foley_tpu.ops.rope import apply_rotary_emb, rope_table
+
+    rng = np.random.default_rng(0)
+    b, lq, lk, h, d = 2, 37, 53, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, lq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, lk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, lk, h, d)).astype(np.float32))
+    wq = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+    wk = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+    cq, sq = rope_table(lq, d)
+    ck, sk = rope_table(lk, d)
+    ref = _sdpa_xla(
+        apply_rotary_emb(rms_norm(q, wq), cq, sq),
+        apply_rotary_emb(rms_norm(k, wk), ck, sk),
+        v, None,
+    )
+    got = fused_qk_attention(
+        q, k, v, jnp.broadcast_to(wq, (lq, d)), jnp.broadcast_to(wk, (lk, d)),
+        cq, sq, ck, sk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_full_forward_pallas_fused_matches_xla(monkeypatch):
+    """attn_impl='pallas_fused' through the whole MMDiT forward == xla path."""
+    import functools
+
+    import foley_tpu.ops.pallas.fused_attention as FA
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import mmdit
+
+    monkeypatch.setattr(FA, "fused_qk_attention",
+                        functools.partial(FA.fused_qk_attention, interpret=True))
+    cfg = TINY.model
+    params = mmdit.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+
+    def rnd(tree):
+        return jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32) * 0.05), tree
+        )
+
+    params["final_layer"] = rnd(params["final_layer"])
+    params["triple_blocks"]["audio_mod"] = rnd(params["triple_blocks"]["audio_mod"])
+    params["triple_blocks"]["v_cond_mod"] = rnd(params["triple_blocks"]["v_cond_mod"])
+    params["single_blocks"]["modulation"] = rnd(params["single_blocks"]["modulation"])
+
+    b, t = 2, 20
+    args = (
+        jnp.asarray(rng.normal(size=(b, t, cfg.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([500.0, 100.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 8, cfg.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 4, cfg.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 8, cfg.sync_feat_dim)).astype(np.float32)),
+    )
+    a = mmdit.apply(params, *args, cfg, attn_impl="xla")
+    bb = mmdit.apply(params, *args, cfg, attn_impl="pallas_fused")
+    assert float(jnp.std(a)) > 0.1  # signal actually flows
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=1e-5, rtol=1e-4)
