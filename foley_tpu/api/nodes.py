@@ -278,10 +278,12 @@ class HunyuanFoleySampler:
         params = foley_model["params"]
         cfg: PipelineConfig = foley_model["cfg"]
 
+        offload_fetch = False
         if block_swap_args and block_swap_args.get("blocks_to_swap", 0) > 0:
-            from foley_tpu.parallel.offload import offload_block_suffix
+            from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
 
             params = offload_block_suffix(params, block_swap_args["blocks_to_swap"])
+            offload_fetch = host_memory_available()
 
         # --- phase 1: features ---
         text_feat, uncond_text_feat = self._encode_text(
@@ -297,6 +299,7 @@ class HunyuanFoleySampler:
             pipeline_cfg=cfg,
             encoders=dependencies,
             compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+            offload_fetch=offload_fetch,
         )
 
         # --- phase 2: denoise + decode ---

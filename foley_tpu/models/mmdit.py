@@ -528,6 +528,7 @@ def apply(
     cond_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     remat: bool = False,
+    offload_fetch: bool = False,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -598,6 +599,12 @@ def apply(
         audio = audio + sync_add  # injected before block 0 (reference :838-839)
 
     def triple_body(carry, block_params):
+        if offload_fetch:
+            # Stream this block's params from pinned host memory into HBM (the block-swap
+            # analog, parallel/offload.py). NOT unconditional: device_put(Space.Device) on
+            # already-resident params forces a ~230 MB copy per block on this runtime
+            # (measured 35.7 -> 429 ms/step).
+            block_params = jax.device_put(block_params, jax.memory.Space.Device)
         a, vc = carry
         a, vc = triple_block_apply(
             block_params, a, cond, vc, vec, ropes, cfg,
@@ -617,6 +624,8 @@ def apply(
         vec_tok = jnp.broadcast_to(vec[:, None, :], (bs, audio_len, vec.shape[-1]))
 
     def single_body(carry, block_params):
+        if offload_fetch:
+            block_params = jax.device_put(block_params, jax.memory.Space.Device)
         h = single_block_apply(block_params, carry, vec_tok, ropes, cfg, attn_impl=attn_impl)
         return h, None
 

@@ -9,6 +9,12 @@ live in host RAM and XLA schedules the HBM transfers. This module provides:
 - ``offload_params`` / ``restore_params``: whole-tree placement (the ping-pong analog);
 - ``offload_block_suffix``: park the *last N stacked blocks* of each scan stack in host memory
   (the block-swap analog) by splitting the stacked leaves.
+
+The MMDiT scan bodies fetch each block's params with ``jax.device_put(..., Space.Device)``
+(a no-op for HBM-resident params), so offloaded stacks stream per-iteration. Status on
+hardware: a host-resident param feeding a jitted matmul works on the axon TPU runtime, but
+the full XXL offloaded 36-block scan hits a TPU backend INTERNAL error through the axon
+tunnel — re-validate on a standard TPU runtime (tracked in ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -34,9 +40,8 @@ def host_memory_available() -> bool:
 
 
 def _put(tree: Dict, memory_kind: str) -> Dict:
-    dev = jax.devices()[0]
-    sharding = jax.sharding.SingleDeviceSharding(dev, memory_kind=memory_kind)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    space = jax.memory.Space.Host if memory_kind == "pinned_host" else jax.memory.Space.Device
+    return jax.tree.map(lambda x: jax.device_put(x, space), tree)
 
 
 def offload_params(params: Dict) -> Dict:

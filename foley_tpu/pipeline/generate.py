@@ -42,6 +42,7 @@ class ModelBundle(NamedTuple):
     pipeline_cfg: PipelineConfig
     encoders: Optional[Dict] = None  # {"clap": ..., "siglip2": ..., "synchformer": ...}
     compute_dtype: jnp.dtype = jnp.bfloat16
+    offload_fetch: bool = False  # block stacks live in pinned host memory (block-swap analog)
 
 
 @dataclasses.dataclass
@@ -115,6 +116,7 @@ def generate_audio(
         use_cfg=use_cfg,
         attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype,
+        offload_fetch=bundle.offload_fetch,
     )
 
     audio = _decode_jit(bundle.dac_params, final_latents, cfg.dac)  # [B, samples, 1] fp32

@@ -43,7 +43,7 @@ class DenoiseFeatures(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
-        "begin_index",
+        "begin_index", "offload_fetch",
     ),
 )
 def denoise_latents(
@@ -60,6 +60,7 @@ def denoise_latents(
     attn_impl: str = "xla",
     compute_dtype=jnp.bfloat16,
     begin_index: int = 0,
+    offload_fetch: bool = False,
 ) -> jnp.ndarray:
     """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
 
@@ -94,7 +95,7 @@ def denoise_latents(
         t_expand = jnp.broadcast_to(t, (latent_input.shape[0],))
         v = mmdit.apply(
             params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, offload_fetch=offload_fetch,
         ).astype(jnp.float32)
         if use_cfg:
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
