@@ -178,3 +178,24 @@ def test_begin_index_partial_denoise(bundle):
         lat, state = solver_step("euler", state, v, lat, sigmas)
     resumed = denoise_latents(bundle.mmdit_params, lat, feats, g, begin_index=2, **kw)
     np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), atol=1e-5, rtol=1e-4)
+
+
+def test_edit_audio_partial_denoise(bundle):
+    """SDEdit-style audio editing: strength controls how far from the source we move."""
+    from foley_tpu.pipeline.edit import edit_audio
+
+    rng = np.random.default_rng(0)
+    sr = CFG.dac.sample_rate
+    src = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    text, uncond = _text()
+
+    kw = dict(guidance_scale=1.0, num_inference_steps=4, seed=3, text_bucket=16)
+    light = edit_audio(bundle, src, text, uncond, strength=0.25, **kw)
+    heavy = edit_audio(bundle, src, text, uncond, strength=1.0, **kw)
+    assert light.audio_batch.shape == (1, 1, sr)
+    assert np.all(np.isfinite(light.audio_batch))
+    # strength changes the trajectory (with random weights the tanh-saturated decode makes
+    # waveform distances uninformative, so assert behavioral difference + determinism)
+    assert np.abs(light.audio_batch - heavy.audio_batch).max() > 0
+    again = edit_audio(bundle, src, text, uncond, strength=0.25, **kw)
+    np.testing.assert_array_equal(light.audio_batch, again.audio_batch)
