@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mux generated audio onto --single_video with ffmpeg")
     p.add_argument("--desync_score", action="store_true",
                    help="Score AV sync of --single_video's own audio (Synchformer offset head)")
+    p.add_argument("--audio_input", type=str, default=None,
+                   help="Edit an existing WAV toward the prompt (SDEdit-style partial denoise)")
+    p.add_argument("--strength", type=float, default=0.6,
+                   help="Edit strength in (0, 1]: fraction of the schedule to re-run")
     return p
 
 
@@ -100,6 +104,9 @@ def main(argv=None) -> int:
                 os.path.join(mp, "synchformer_state_dict.safetensors"),
             )
 
+        if args.audio_input:
+            return _edit_audio(args, foley_model, dependencies, logger)
+
         image = None
         if args.single_video:
             from foley_tpu.pipeline.video import read_video_frames
@@ -142,6 +149,48 @@ def main(argv=None) -> int:
     except Exception as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+
+
+def _edit_audio(args, foley_model, dependencies, logger) -> int:
+    """SDEdit-style re-prompting of an existing WAV (pipeline/edit.py)."""
+    import wave as wave_mod
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.io.audio import write_wav
+    from foley_tpu.pipeline.edit import edit_audio
+    from foley_tpu.pipeline.generate import ModelBundle
+
+    with wave_mod.open(args.audio_input) as f:
+        assert f.getframerate() == 48000, "edit input must be 48 kHz"
+        pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2").astype(np.float32) / 32767.0
+        wav = pcm.reshape(-1, f.getnchannels()).mean(axis=1)  # mono mixdown
+
+    cfg = foley_model["cfg"]
+    bundle = ModelBundle(
+        mmdit_params=foley_model["params"],
+        dac_params=dependencies["dac_params"],
+        pipeline_cfg=cfg,
+        compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+    )
+    if "clap" in dependencies:
+        from foley_tpu.models import clap as clap_mod
+
+        feats = clap_mod.encode_text(dependencies["clap"], [args.neg_prompt, args.single_prompt])
+        text, uncond = feats[1:2], feats[0:1]
+    else:
+        text = uncond = jnp.zeros((1, cfg.model.text_length, cfg.model.condition_dim), jnp.float32)
+        logger.warning("CLAP unavailable; using zero text features")
+
+    result = edit_audio(
+        bundle, wav, text, uncond,
+        strength=args.strength, guidance_scale=args.guidance_scale,
+        num_inference_steps=args.num_inference_steps, sampler=args.sampler, seed=args.seed,
+    )
+    write_wav(args.output, result.audio_first[0], result.sample_rate)
+    logger.info(f"edited {args.audio_input} -> {args.output} (strength {args.strength})")
+    return 0
 
 
 def _process_batch(args, logger) -> int:
