@@ -138,6 +138,69 @@ def generate_audio(
     )
 
 
+def generate_audio_multi(
+    bundle: ModelBundle,
+    text_feats: jnp.ndarray,          # [N, L, D] one row per request
+    uncond_text_feats: jnp.ndarray,   # [N, L, D]
+    duration_s: float,
+    seeds,                            # sequence of N seeds
+    *,
+    guidance_scale: float = 4.5,
+    num_inference_steps: int = 50,
+    sampler: str = "euler",
+    attn_impl: str = "xla",
+    text_bucket: Optional[int] = None,
+) -> GenerationResult:
+    """Batched generation with *distinct per-row prompts and seeds* (serving micro-batching).
+
+    Unlike ``generate_audio`` (one prompt repeated ``batch_size`` times, the reference's
+    batch semantics), every row here is an independent request sharing one TPU program.
+    T2A only (empty visual sequences)."""
+    from foley_tpu.pipeline.features import pad_or_trim_time
+
+    cfg = bundle.pipeline_cfg
+    n = text_feats.shape[0]
+    bucket = text_bucket or pick_text_bucket(int(text_feats.shape[1]))
+    text = pad_or_trim_time(jnp.asarray(text_feats), bucket)
+    uncond = pad_or_trim_time(jnp.asarray(uncond_text_feats), bucket)
+
+    clip_len, sync_len = cfg.t2a_lengths(duration_s)
+    from foley_tpu.models import mmdit as mmdit_mod
+
+    clip = mmdit_mod.get_empty_clip_sequence(bundle.mmdit_params, n, clip_len)
+    sync = mmdit_mod.get_empty_sync_sequence(bundle.mmdit_params, n, sync_len)
+
+    use_cfg = guidance_scale > 1.0
+    if use_cfg:
+        features = DenoiseFeatures(
+            cond=jnp.concatenate([uncond, text], axis=0),
+            clip_feat=jnp.concatenate([clip, clip], axis=0),
+            sync_feat=jnp.concatenate([sync, sync], axis=0),
+        )
+    else:
+        features = DenoiseFeatures(cond=text, clip_feat=clip, sync_feat=sync)
+
+    latent_len = cfg.latent_length(duration_s)
+    rows = [
+        prepare_latents(jax.random.PRNGKey(int(s)), 1, latent_len, cfg.model.audio_vae_latent_dim)
+        for s in seeds
+    ]
+    latents = jnp.concatenate(rows, axis=0)
+
+    final_latents = denoise_latents(
+        bundle.mmdit_params, latents, features, jnp.float32(guidance_scale),
+        cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
+        solver=sampler, use_cfg=use_cfg, attn_impl=attn_impl,
+        compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
+    )
+    audio = jax.block_until_ready(_decode_jit(bundle.dac_params, final_latents, cfg.dac))
+    n_samples = int(duration_s * cfg.dac.sample_rate)
+    audio_np = np.asarray(audio)[:, :n_samples, 0][:, None, :]
+    return GenerationResult(
+        audio_first=audio_np[:1], audio_batch=audio_np, sample_rate=cfg.dac.sample_rate,
+    )
+
+
 def select_audio_from_batch(audio_batch: np.ndarray, index: int) -> np.ndarray:
     """Pick one waveform from an AUDIO batch, clamping OOB (reference ``nodes.py:636-663``)."""
     index = max(0, min(index, audio_batch.shape[0] - 1))

@@ -114,6 +114,117 @@ class FoleyService:
         }
 
 
+class BatchingFoleyService(FoleyService):
+    """Request-coalescing service: concurrent requests with matching shape buckets
+    (duration, steps, sampler, cfg_scale) are micro-batched into one TPU program via
+    ``generate_audio_multi`` — distinct prompts and seeds per row. Falls back to the base
+    serialized path for video requests or singletons."""
+
+    def __init__(self, *args, max_batch: int = 4, batch_window_s: float = 0.05, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._queue: "list" = []
+        self._queue_lock = threading.Lock()
+        self._queue_event = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    class _Pending:
+        def __init__(self, request):
+            self.request = request
+            self.event = threading.Event()
+            self.result = None
+            self.error = None
+
+    def generate(self, request: Dict) -> Dict:
+        pending = self._Pending(request)
+        with self._queue_lock:
+            self._queue.append(pending)
+        self._queue_event.set()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def _bucket(self, req: Dict):
+        return (
+            self._snap_duration(float(req.get("duration", 5.0))),
+            int(req.get("steps", self.default_steps)),
+            req.get("sampler", "euler"),
+            float(req.get("cfg_scale", 4.5)),
+        )
+
+    def _run(self):
+        import time as _time
+
+        while True:
+            self._queue_event.wait()
+            _time.sleep(self.batch_window_s)  # let concurrent arrivals coalesce
+            with self._queue_lock:
+                if not self._queue:
+                    self._queue_event.clear()
+                    continue
+                head = self._queue[0]
+                bucket = self._bucket(head.request)
+                group = [p for p in self._queue if self._bucket(p.request) == bucket][: self.max_batch]
+                for p in group:
+                    self._queue.remove(p)
+                if not self._queue:
+                    self._queue_event.clear()
+            try:
+                self._serve_group(group, bucket)
+            except Exception as e:  # noqa: BLE001
+                for p in group:
+                    p.error = e
+                    p.event.set()
+
+    def _serve_group(self, group, bucket):
+        import jax.numpy as jnp
+
+        from foley_tpu.pipeline.generate import generate_audio_multi
+
+        duration, steps, sampler, cfg_scale = bucket
+        tb = self.text_buckets[0]
+        dim = self.bundle.pipeline_cfg.model.condition_dim
+        texts, unconds, seeds = [], [], []
+        for p in group:
+            req = p.request
+            if self.text_encoder is not None:
+                from foley_tpu.models import clap as clap_mod
+
+                feats = clap_mod.encode_text(
+                    self.text_encoder,
+                    [req.get("negative_prompt", "noisy, harsh"), req.get("prompt", "")],
+                )
+                texts.append(np.asarray(feats[1]))
+                unconds.append(np.asarray(feats[0]))
+            else:
+                texts.append(np.zeros((tb, dim), np.float32))
+                unconds.append(np.zeros((tb, dim), np.float32))
+            seeds.append(int(req.get("seed", 0)))
+
+        max_l = max(t.shape[0] for t in texts)
+        pad = lambda t: np.pad(t, ((0, max_l - t.shape[0]), (0, 0)))
+        text_b = jnp.asarray(np.stack([pad(t) for t in texts]))
+        uncond_b = jnp.asarray(np.stack([pad(t) for t in unconds]))
+
+        with self._lock:
+            result = generate_audio_multi(
+                self.bundle, text_b, uncond_b, duration, seeds,
+                guidance_scale=cfg_scale, num_inference_steps=steps, sampler=sampler,
+                text_bucket=tb,
+            )
+        for i, p in enumerate(group):
+            n = int(float(p.request.get("duration", duration)) * result.sample_rate)
+            p.result = {
+                "waveform": result.audio_batch[i][:, :n],
+                "sample_rate": result.sample_rate,
+                "timings": None,
+            }
+            p.event.set()
+
+
 def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
     # Native C++ PCM conversion + WAV framing when built (numpy fallback inside).
     from foley_tpu.io.native import wav_image

@@ -96,3 +96,52 @@ def test_index_page(server):
         body = r.read().decode()
     assert r.headers["Content-Type"].startswith("text/html")
     assert "/generate" in body and "foley-tpu" in body
+
+
+def test_generate_audio_multi_row_equals_solo():
+    """A single row of the micro-batched path equals generate_audio with that seed."""
+    from foley_tpu.pipeline.generate import generate_audio, generate_audio_multi
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    t1 = jnp.asarray(rng.normal(size=(1, 10, TINY.model.condition_dim)).astype(np.float32))
+    t2 = jnp.asarray(rng.normal(size=(1, 10, TINY.model.condition_dim)).astype(np.float32))
+    uz = jnp.zeros_like(t1)
+    multi = generate_audio_multi(
+        bundle, jnp.concatenate([t1, t2]), jnp.concatenate([uz, uz]), 1.0, seeds=[11, 22],
+        guidance_scale=4.5, num_inference_steps=2, text_bucket=16,
+    )
+    solo = generate_audio(bundle, t2, uz, 1.0, guidance_scale=4.5, num_inference_steps=2,
+                          batch_size=1, seed=22, text_bucket=16)
+    assert multi.audio_batch.shape[0] == 2
+    np.testing.assert_allclose(multi.audio_batch[1], solo.audio_batch[0], atol=2e-4, rtol=1e-3)
+    # distinct prompts/seeds -> distinct rows
+    assert np.abs(multi.audio_batch[0] - multi.audio_batch[1]).max() > 0
+
+
+def test_batching_service_coalesces_concurrent_requests():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from foley_tpu.serving.server import BatchingFoleyService
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    svc = BatchingFoleyService(bundle, durations=(1.0,), text_buckets=(16,),
+                               default_steps=2, max_batch=4, batch_window_s=0.2)
+    reqs = [{"prompt": f"p{i}", "duration": 1.0, "steps": 2, "seed": i} for i in range(3)]
+    with ThreadPoolExecutor(3) as ex:
+        outs = list(ex.map(svc.generate, reqs))
+    for out in outs:
+        assert out["waveform"].shape == (1, 48000)
+        assert out["sample_rate"] == 48000
+    # distinct seeds -> distinct outputs
+    assert np.abs(outs[0]["waveform"] - outs[1]["waveform"]).max() > 0
