@@ -321,6 +321,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--durations", default="5")
     p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--max_batch", type=int, default=1,
+                   help=">1 enables request coalescing (BatchingFoleyService)")
     args = p.parse_args(argv)
 
     import jax
@@ -357,9 +359,12 @@ def main(argv=None) -> int:
         )
         text_encoder = manager.clap
 
-    service = FoleyService(
+    service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
+    extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}
+    service = service_cls(
         bundle, text_encoder,
         durations=tuple(float(x) for x in args.durations.split(",")),
+        **extra,
     )
     service.warmup(steps=args.warmup_steps)
     server = create_server(service, args.host, args.port)
