@@ -122,8 +122,14 @@ def detect_ckpt_major_precision(sd: Dict[str, np.ndarray]) -> str:
 # ---------------------------------------------------------------------------------
 
 class _KeyTracker:
+    """Tracks consumption of a source state dict.
+
+    ``take`` pops the source tensor after conversion so peak host memory stays ~1x the
+    checkpoint size instead of ~2x (matters for the 10.3 GB XXL checkpoint)."""
+
     def __init__(self, sd: Dict[str, np.ndarray]):
         self.sd = sd
+        self.all_keys = set(sd)
         self.used = set()
         self.missing: List[str] = []
 
@@ -132,7 +138,7 @@ class _KeyTracker:
             self.missing.append(key)
             return None
         self.used.add(key)
-        arr = self.sd[key]
+        arr = self.sd.pop(key)
         if transform is not None:
             arr = transform(arr)
         return jnp.asarray(arr)
@@ -141,7 +147,7 @@ class _KeyTracker:
         return key in self.sd
 
     def unexpected(self) -> List[str]:
-        return sorted(set(self.sd) - self.used)
+        return sorted(self.all_keys - self.used)
 
 
 def _lin(w: np.ndarray) -> np.ndarray:
