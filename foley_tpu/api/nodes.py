@@ -278,6 +278,14 @@ class HunyuanFoleySampler:
         params = foley_model["params"]
         cfg: PipelineConfig = foley_model["cfg"]
 
+        # restore params that a previous force_offload parked in host memory
+        from foley_tpu.parallel.offload import host_memory_available, restore_params
+
+        if foley_model.get("_offloaded"):
+            params = restore_params(params)
+            foley_model["params"] = params
+            foley_model["_offloaded"] = False
+
         offload_fetch = False
         if block_swap_args and block_swap_args.get("blocks_to_swap", 0) > 0:
             from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
@@ -317,6 +325,15 @@ class HunyuanFoleySampler:
             seed=seed,
         )
         sr = result.sample_rate
+
+        # force_offload: park the denoiser params in host memory until the next call
+        # (the reference moves models back to CPU after the run, nodes.py:407-415)
+        if force_offload and not offload_fetch and host_memory_available():
+            from foley_tpu.parallel.offload import offload_params
+
+            foley_model["params"] = offload_params(params)
+            foley_model["_offloaded"] = True
+
         return (
             {"waveform": result.audio_first, "sample_rate": sr},
             {"waveform": result.audio_batch, "sample_rate": sr},
