@@ -145,3 +145,21 @@ def test_batching_service_coalesces_concurrent_requests():
         assert out["sample_rate"] == 48000
     # distinct seeds -> distinct outputs
     assert np.abs(outs[0]["waveform"] - outs[1]["waveform"]).max() > 0
+
+
+def test_batching_service_error_does_not_wedge_worker():
+    from foley_tpu.serving.server import BatchingFoleyService
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    svc = BatchingFoleyService(bundle, durations=(1.0,), text_buckets=(16,),
+                               default_steps=2, batch_window_s=0.05)
+    with pytest.raises(Exception):
+        svc.generate({"prompt": "x", "duration": 1.0, "steps": 2, "sampler": "bogus"})
+    # worker survives and serves the next valid request
+    out = svc.generate({"prompt": "x", "duration": 1.0, "steps": 2, "seed": 1})
+    assert out["waveform"].shape == (1, 48000)
