@@ -14,7 +14,9 @@ paused by XLA compilation), plus a stdlib HTTP server exposing:
          "response": "wav"|"json"}
 
 Generation is serialized with a lock (one TPU program at a time); duration is snapped to the
-warmed bucket set to avoid recompiles in production.
+warmed bucket set to avoid recompiles in production. ``BatchingFoleyService`` (enabled with
+``--max_batch > 1``) coalesces concurrent same-bucket requests into one micro-batched TPU
+program with distinct prompts/seeds per row.
 """
 
 from __future__ import annotations
