@@ -191,6 +191,29 @@ def apply(params: Dict, spec_tf: jnp.ndarray, cfg: ASTConfig,
     return _ln(params["layernorm"], x, eps)
 
 
+def extract_features_segments(
+    params: Dict,
+    freq_agg_params: Dict,
+    specs: jnp.ndarray,
+    cfg: ASTConfig,
+    for_loop: bool = False,
+) -> jnp.ndarray:
+    """Segmented features [B, S, T, F] -> [B, S, t, D].
+
+    ``for_loop=True`` processes one segment at a time (the reference's memory-lean mode,
+    ``ast_model.forward`` for_loop branch); False batches all segments through the MXU.
+    """
+    b, s = specs.shape[:2]
+    if for_loop:
+        outs = [extract_features(params, freq_agg_params, specs[:, i], cfg) for i in range(s)]
+        out = jnp.stack(outs, axis=1)
+    else:
+        flat = specs.reshape(b * s, *specs.shape[2:])
+        out = extract_features(params, freq_agg_params, flat, cfg)
+        out = out.reshape(b, s, *out.shape[1:])
+    return out
+
+
 def extract_features(
     params: Dict,
     freq_agg_params: Dict,

@@ -197,3 +197,22 @@ def test_ast_token_mask(ast_pair):
     )
     partial = ast_mod.apply(params, spec, cfg, token_mask=tm.at[:, 5:].set(False))
     assert np.abs(np.asarray(partial) - np.asarray(full)).max() > 1e-4
+
+
+def test_ast_for_loop_mode_equals_batched(ast_pair):
+    """Memory-lean per-segment mode == batched mode (reference ast_model for_loop branch)."""
+    from foley_tpu.configs import SynchformerConfig
+    from foley_tpu.models import synchformer
+
+    _, params, cfg = ast_pair
+    agg = synchformer.init(
+        jax.random.PRNGKey(0),
+        SynchformerConfig(embed_dim=cfg.hidden_size, depth=1, num_heads=cfg.num_attention_heads,
+                          mlp_ratio=2.0, img_size=32, patch_size=8),
+    )["spatial_agg"]
+    specs = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 3, cfg.max_length, cfg.num_mel_bins)).astype(np.float32))
+    batched = ast_mod.extract_features_segments(params, agg, specs, cfg, for_loop=False)
+    looped = ast_mod.extract_features_segments(params, agg, specs, cfg, for_loop=True)
+    assert batched.shape == (2, 3, cfg.time_patches, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(looped), np.asarray(batched), atol=1e-5)
