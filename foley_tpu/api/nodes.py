@@ -74,7 +74,7 @@ class HunyuanModelLoader:
         if precision == "auto":
             precision = major
         dtype = resolve_dtype(precision)
-        params = convert_mmdit_state_dict(sd, cfg.model)
+        params = convert_mmdit_state_dict(sd, cfg.model, consume=True)
         # fp8 checkpoint tensors pass through bit-exact (reference utils.py:467-472);
         # the precision cast applies only to the non-fp8 leaves.
         from foley_tpu.core.dtypes import FP8_DTYPES
@@ -150,7 +150,7 @@ class HunyuanDependenciesLoader:
 
         dac_cfg = DACConfig()
         sd = load_torch_state_dict(vae_model)
-        dac_params = convert_dac_state_dict(sd, dac_cfg)
+        dac_params = convert_dac_state_dict(sd, dac_cfg, consume=True)
         deps: Dict[str, Any] = {"dac_params": dac_params, "dac_cfg": dac_cfg}
         if synchformer_model:
             try:

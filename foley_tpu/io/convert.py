@@ -192,13 +192,16 @@ def _hdk_to_khd(w: np.ndarray, num_heads: int, head_dim: int, k: int = 3) -> np.
 
 
 def convert_mmdit_state_dict(
-    sd: Dict[str, np.ndarray], cfg: MMDiTConfig, strict: bool = False
+    sd: Dict[str, np.ndarray], cfg: MMDiTConfig, strict: bool = False,
+    consume: bool = False,
 ) -> Dict:
     """Torch HunyuanVideoFoley state dict -> foley-tpu MMDiT param pytree.
 
     Key names mirror reference module attributes (``hifi_foley.py:392-527``).
+    ``consume=True`` pops source tensors as they convert (peak host memory ~1x the 10.3 GB
+    checkpoint instead of ~2x) — the caller's dict is emptied.
     """
-    t = _KeyTracker(sd)
+    t = _KeyTracker(sd if consume else dict(sd))
     nh, hd = cfg.num_heads, cfg.head_dim
 
     params: Dict = {
@@ -340,7 +343,8 @@ def _take_residual_unit(t: _KeyTracker, prefix: str) -> Dict:
 
 
 def convert_dac_state_dict(
-    sd: Dict[str, np.ndarray], cfg: DACConfig, strict: bool = False
+    sd: Dict[str, np.ndarray], cfg: DACConfig, strict: bool = False,
+    consume: bool = False,
 ) -> Dict:
     """Torch DAC state dict -> foley-tpu pytree, weight norm folded.
 
@@ -349,8 +353,9 @@ def convert_dac_state_dict(
     decoder block.block = [snake, convT, res, res, res];
     encoder.block = [conv, block*len(rates), snake, conv];
     encoder block.block = [res, res, res, snake, conv].
+    ``consume=True`` pops source tensors as converted (caps peak host memory).
     """
-    t = _KeyTracker(sd)
+    t = _KeyTracker(sd if consume else dict(sd))
     n_dec = len(cfg.decoder_rates)
     decoder: Dict = {
         "conv_in": _take_wn_conv(t, "decoder.model.0"),
@@ -424,9 +429,9 @@ def _main(argv=None):
     logger.info(f"loaded {len(sd)} tensors; fp8={detect_ckpt_fp8(sd)}, "
                 f"major={detect_ckpt_major_precision(sd)}")
     if args.kind == "model":
-        params = convert_mmdit_state_dict(sd, get_config(args.config).model)
+        params = convert_mmdit_state_dict(sd, get_config(args.config).model, consume=True)
     else:
-        params = convert_dac_state_dict(sd, DACConfig())
+        params = convert_dac_state_dict(sd, DACConfig(), consume=True)
     save_params(args.dst, params)
 
 

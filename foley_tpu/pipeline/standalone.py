@@ -60,7 +60,7 @@ def load_model(
         from foley_tpu.io.convert import convert_dac_state_dict, load_torch_state_dict
 
         sd = load_torch_state_dict(_find(model_path, _CKPT_FILES["dac"]))
-        return {"params": convert_dac_state_dict(sd, cfg.dac), "cfg": cfg.dac}
+        return {"params": convert_dac_state_dict(sd, cfg.dac, consume=True), "cfg": cfg.dac}
 
     def load_synchformer():
         from foley_tpu.models import synchformer
