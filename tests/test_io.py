@@ -267,3 +267,55 @@ def test_write_wav_roundtrip(tmp_path):
         assert f.getframerate() == 48000
         assert f.getnchannels() == 1
         assert f.getnframes() == 4800
+
+
+def test_load_bf16_safetensors_roundtrip(tmp_path):
+    """bf16 safetensors go through the torch-flavored fallback loader (numpy lacks bf16)."""
+    from safetensors.torch import save_file
+
+    from foley_tpu.io.convert import load_torch_state_dict
+
+    t = torch.arange(6, dtype=torch.bfloat16).reshape(2, 3)
+    path = str(tmp_path / "bf16.safetensors")
+    save_file({"w": t}, path)
+    sd = load_torch_state_dict(path)
+    import ml_dtypes
+
+    assert sd["w"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(sd["w"].astype(np.float32), t.float().numpy())
+
+
+def test_load_pth_payload_shapes(tmp_path):
+    """torch.load payloads: flat dict and {'state_dict': ...} wrapper (reference
+    _extract_state semantics)."""
+    from foley_tpu.io.convert import load_torch_state_dict
+
+    flat = {"a": torch.ones(2), "meta": "ignored"}
+    p1 = str(tmp_path / "flat.pth")
+    torch.save(flat, p1)
+    sd = load_torch_state_dict(p1)
+    assert set(sd) == {"a"}
+
+    wrapped = {"state_dict": {"b": torch.zeros(3)}, "epoch": 7}
+    p2 = str(tmp_path / "wrapped.pth")
+    torch.save(wrapped, p2)
+    sd2 = load_torch_state_dict(p2)
+    assert set(sd2) == {"b"}
+
+
+def test_validate_parity_tool(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from foley_tpu.io.audio import write_wav
+
+    sr = 48000
+    t = np.linspace(0, 1, sr)
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    a, b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(a, x[None], sr)
+    write_wav(b, (x + 0.001 * np.random.default_rng(0).normal(size=x.shape).astype(np.float32))[None], sr)
+    r = subprocess.run([_sys.executable, "tools/validate_parity.py", a, b],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS" in r.stdout
