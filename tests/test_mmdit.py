@@ -159,3 +159,36 @@ def test_decomposed_interleaved_rope_equals_fallback(params, inputs):
     a2, v2 = mmdit.triple_block_apply(blocks0, audio, cond, v_cond, vec, ropes_fb, CFG)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5, rtol=1e-5)
+
+
+def test_non_interleaved_rope_variant():
+    """interleaved_audio_visual_rope=False: audio uses its own table; visual uses a
+    frequency-rescaled table (mmaudio-style, reference hifi_foley.py:654-668)."""
+    import dataclasses
+
+    from foley_tpu.ops.rope import apply_rotary_emb, rope_table
+
+    cfg_ni = dataclasses.replace(CFG, interleaved_audio_visual_rope=False)
+    ropes = mmdit.build_rope_tables(cfg_ni, T, L_CLIP, L_TXT)
+    assert ropes.audio_joint is None  # decomposition only applies to the interleaved variant
+    # visual table is rescaled by audio_len/visual_len
+    expected_v = rope_table(L_CLIP, CFG.head_dim, CFG.rope_theta, freq_scaling=T / L_CLIP)
+    np.testing.assert_allclose(np.asarray(ropes.v_joint[0]), np.asarray(expected_v[0]), atol=1e-6)
+
+    # block forward runs and differs from the interleaved variant
+    params = mmdit.init(jax.random.PRNGKey(3), cfg_ni)
+    rng = np.random.default_rng(5)
+    blocks0 = jax.tree.map(lambda x: x[0], params["triple_blocks"])
+    audio = jnp.asarray(rng.normal(size=(B, T, CFG.hidden_size)).astype(np.float32))
+    v_cond = jnp.asarray(rng.normal(size=(B, L_CLIP, CFG.hidden_size)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(B, L_TXT, CFG.hidden_size)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(size=(B, CFG.hidden_size)).astype(np.float32))
+    # make the block non-trivial
+    blocks0 = dict(blocks0)
+    blocks0["audio_mod"] = {"w": jnp.asarray(rng.normal(size=blocks0["audio_mod"]["w"].shape).astype(np.float32) * 0.05),
+                            "b": jnp.zeros_like(blocks0["audio_mod"]["b"])}
+    a_ni, _ = mmdit.triple_block_apply(blocks0, audio, cond, v_cond, vec, ropes, cfg_ni)
+    ropes_i = mmdit.build_rope_tables(CFG, T, L_CLIP, L_TXT)
+    a_i, _ = mmdit.triple_block_apply(blocks0, audio, cond, v_cond, vec, ropes_i, CFG)
+    assert np.all(np.isfinite(np.asarray(a_ni)))
+    assert np.abs(np.asarray(a_ni) - np.asarray(a_i)).max() > 0
