@@ -51,12 +51,14 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
         )
 
     once(0)  # compile + warm
-    t0 = time.perf_counter()
-    n_iters = 3
-    for i in range(n_iters):
+    # median of per-iteration walls: robust to tunnel-latency spikes between host and chip
+    walls = []
+    for i in range(5):
+        t0 = time.perf_counter()
         result = once(i + 1)
-    elapsed = (time.perf_counter() - t0) / n_iters
-    return elapsed, result
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    return walls[len(walls) // 2], result
 
 
 def main():
