@@ -104,13 +104,17 @@ def generate_audio(
     latents = prepare_latents(key, batch_size, latent_len, cfg.model.audio_vae_latent_dim)
 
     t1 = time.perf_counter()
-    final_latents = denoise_latents(
+    from foley_tpu.sampling.denoise import denoise_and_decode
+
+    final_latents, audio = denoise_and_decode(
         bundle.mmdit_params,
+        bundle.dac_params,
         latents,
         features,
         jnp.float32(guidance_scale),
         cfg=cfg.model,
         diffusion=cfg.diffusion,
+        dac_cfg=cfg.dac,
         num_steps=num_inference_steps,
         solver=sampler,
         use_cfg=use_cfg,
@@ -118,9 +122,7 @@ def generate_audio(
         compute_dtype=bundle.compute_dtype,
         offload_fetch=bundle.offload_fetch,
     )
-
-    audio = _decode_jit(bundle.dac_params, final_latents, cfg.dac)  # [B, samples, 1] fp32
-    audio = jax.block_until_ready(audio)
+    audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32
     t2 = time.perf_counter()
 
     # Trim by *samples* (the reference's channel-dim slice at utils.py:257 is a no-op bug;

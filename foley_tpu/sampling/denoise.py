@@ -111,6 +111,46 @@ def denoise_latents(
     return final_latents
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "diffusion", "dac_cfg", "num_steps", "solver", "use_cfg", "attn_impl",
+        "compute_dtype", "begin_index", "offload_fetch",
+    ),
+)
+def denoise_and_decode(
+    params: Dict,
+    dac_params: Dict,
+    latents: jnp.ndarray,
+    features: DenoiseFeatures,
+    guidance_scale: jnp.ndarray,
+    *,
+    cfg: MMDiTConfig,
+    diffusion: DiffusionConfig,
+    dac_cfg,
+    num_steps: int,
+    solver: str = "euler",
+    use_cfg: bool = True,
+    attn_impl: str = "xla",
+    compute_dtype=jnp.bfloat16,
+    begin_index: int = 0,
+    offload_fetch: bool = False,
+):
+    """Denoise + DAC decode as ONE program: a single host->device dispatch per generation
+    (each dispatch costs tens of ms of round-trip latency on tunneled TPU runtimes).
+    Returns (final_latents fp32, audio fp32 [B, T*hop, 1])."""
+    from foley_tpu.models import dac_vae
+
+    final_latents = denoise_latents(
+        params, latents, features, guidance_scale,
+        cfg=cfg, diffusion=diffusion, num_steps=num_steps, solver=solver, use_cfg=use_cfg,
+        attn_impl=attn_impl, compute_dtype=compute_dtype, begin_index=begin_index,
+        offload_fetch=offload_fetch,
+    )
+    audio = dac_vae.decode(dac_params, final_latents, dac_cfg)
+    return final_latents, audio
+
+
 def prepare_latents(
     key: jax.Array,
     batch_size: int,
