@@ -68,8 +68,16 @@ def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: SiglipVisionConfig,
     if pe.ndim == 4:  # conv2d [h, C, P, P] -> flattened linear [C*P*P, h] over (C, Ph, Pw)
         h = pe.shape[0]
         patch_w = jnp.asarray(np.ascontiguousarray(pe.reshape(h, -1).T))
-    else:  # naflex linear [h, C*P*P]
-        patch_w = jnp.asarray(np.ascontiguousarray(pe.T))
+    else:
+        # naflex linear [h, Ph*Pw*C]: HF's processor orders patch features (ph, pw, c)
+        # (image_processing_siglip2.convert_image_to_patches); permute the input axis to our
+        # (c, ph, pw) patchify order.
+        h = pe.shape[0]
+        p = cfg.patch_size
+        c = pe.shape[1] // (p * p)
+        w = pe.reshape(h, p, p, c)            # [h, ph, pw, c]
+        w = np.transpose(w, (0, 3, 1, 2))     # [h, c, ph, pw]
+        patch_w = jnp.asarray(np.ascontiguousarray(w.reshape(h, -1).T))
     params: Dict = {
         "patch_embedding": {"w": patch_w,
                             "b": jnp.asarray(sd[prefix + "embeddings.patch_embedding.bias"])},
@@ -137,12 +145,27 @@ def _patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
+def _resize_pos_embed(pos: jnp.ndarray, target_grid: int) -> jnp.ndarray:
+    """Bilinear-resize square positional embeddings [G*G, D] -> [g*g, D] (the naflex
+    ``resize_positional_embeddings`` / fixed-res ``interpolate_pos_encoding`` mechanism)."""
+    n, d = pos.shape
+    g = int(round(n ** 0.5))
+    if g == target_grid:
+        return pos
+    grid = pos.reshape(g, g, d)
+    resized = jax.image.resize(grid, (target_grid, target_grid, d), method="bilinear")
+    return resized.reshape(target_grid * target_grid, d)
+
+
 def apply(params: Dict, images: jnp.ndarray, cfg: SiglipVisionConfig,
           pooled: bool = True) -> jnp.ndarray:
     """images: [B, H, W, C] normalized ((x-0.5)/0.5). Returns pooled [B, h] (get_image_features
-    semantics) or token sequence [B, N, h]."""
+    semantics) or token sequence [B, N, h]. Positional embeddings are bilinearly resized when
+    the input grid differs from the checkpoint's."""
     x = apply_dense(params["patch_embedding"], _patchify(images, cfg.patch_size))
-    x = x + params["position_embedding"][None].astype(x.dtype)
+    grid = images.shape[1] // cfg.patch_size
+    pos = _resize_pos_embed(params["position_embedding"], grid)
+    x = x + pos[None].astype(x.dtype)
     eps = cfg.layer_norm_eps
     nh = cfg.num_attention_heads
     for layer in params["layers"]:

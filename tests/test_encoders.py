@@ -183,3 +183,52 @@ def test_synchformer_preprocess_center_crop():
     frames = np.random.default_rng(0).random((2, 50, 100, 3)).astype(np.float32)
     out = synchformer.preprocess_frames(frames, size=32)
     assert out.shape == (2, 32, 32, 3)
+
+
+def test_siglip2_naflex_matches_hf():
+    """Linear-patch (naflex) converter branch vs HF Siglip2VisionModel, incl. the
+    (ph, pw, c) -> (c, ph, pw) feature permute and square-grid pos embeddings."""
+    from transformers import Siglip2VisionConfig as HFC2, Siglip2VisionModel
+    from transformers.models.siglip2.image_processing_siglip2 import convert_image_to_patches
+
+    p, grid = 4, 4
+    cfg = siglip2.SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=grid * p, patch_size=p,
+    )
+    hf_cfg = HFC2(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                  num_attention_heads=2, num_channels=3, patch_size=p,
+                  num_patches=grid * grid)
+    torch.manual_seed(0)
+    model = Siglip2VisionModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = siglip2.convert_hf_state_dict(sd, cfg, prefix="vision_model.")
+
+    rng = np.random.default_rng(0)
+    img_hwc = rng.normal(size=(grid * p, grid * p, 3)).astype(np.float32)
+    patches = convert_image_to_patches(img_hwc, p)  # [grid*grid, p*p*3], (ph, pw, c) order
+    with torch.no_grad():
+        out = model(
+            pixel_values=torch.from_numpy(patches)[None],
+            pixel_attention_mask=torch.ones(1, grid * grid, dtype=torch.long),
+            spatial_shapes=torch.tensor([[grid, grid]]),
+        )
+    got = siglip2.apply(params, jnp.asarray(img_hwc)[None], cfg, pooled=False)
+    np.testing.assert_allclose(np.asarray(got), out.last_hidden_state.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    pooled = siglip2.apply(params, jnp.asarray(img_hwc)[None], cfg, pooled=True)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_siglip_pos_embed_resize(siglip_pair):
+    """Inputs at a different resolution use bilinearly resized positional embeddings."""
+    _, params, cfg = siglip_pair
+    import dataclasses
+
+    big = dataclasses.replace(cfg, image_size=cfg.image_size * 2)
+    imgs = np.random.default_rng(0).normal(
+        size=(1, big.image_size, big.image_size, 3)).astype(np.float32)
+    out = siglip2.apply(params, jnp.asarray(imgs), big, pooled=True)
+    assert out.shape == (1, cfg.hidden_size)
+    assert np.all(np.isfinite(np.asarray(out)))
