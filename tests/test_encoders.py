@@ -232,3 +232,32 @@ def test_siglip_pos_embed_resize(siglip_pair):
     out = siglip2.apply(params, jnp.asarray(imgs), big, pooled=True)
     assert out.shape == (1, cfg.hidden_size)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_preprocess_resize_close_to_torch_antialiased_bicubic():
+    """Quantifies the preprocessing-parity tolerance (SURVEY hard-part #4): our PIL bicubic
+    resize vs torch's antialiased bicubic (what torchvision v2 Resize uses for tensors).
+    Known-close but not bit-exact; the bound here is the budgeted tolerance."""
+    rng = np.random.default_rng(0)
+    frame = rng.random((96, 128, 3)).astype(np.float32)
+    ours = siglip2.preprocess_frames(frame[None], size=64)[0]  # normalized (x-0.5)/0.5
+    t = torch.from_numpy(frame).permute(2, 0, 1)[None]
+    ref = F.interpolate(t, size=(64, 64), mode="bicubic", antialias=True)
+    ref = (ref.clamp(0, 1)[0].permute(1, 2, 0).numpy() - 0.5) / 0.5
+    diff = np.abs(ours - ref)
+    # PIL quantizes through uint8 (1/255 ~ 0.004 in [0,1] = 0.008 in [-1,1]) + filter-tap
+    # differences; measured max ~0.03 on random noise (worst case for resampling).
+    assert diff.max() < 0.06, diff.max()
+    assert diff.mean() < 0.01, diff.mean()
+
+
+def test_sync_preprocess_center_crop_geometry():
+    """Short-side resize + center crop picks the same region torch CenterCrop would."""
+    frame = np.zeros((100, 200, 3), np.float32)
+    frame[:, 88:112] = 1.0  # vertical stripe at the horizontal center
+    out = synchformer.preprocess_frames(frame[None], size=32)[0]
+    # stripe must remain centered after resize+crop (normalized: background -1, stripe 1)
+    center_col = out[:, 16, 0]
+    edge_col = out[:, 2, 0]
+    assert center_col.mean() > 0.5
+    assert edge_col.mean() < -0.5

@@ -163,3 +163,28 @@ def test_batching_service_error_does_not_wedge_worker():
     # worker survives and serves the next valid request
     out = svc.generate({"prompt": "x", "duration": 1.0, "steps": 2, "seed": 1})
     assert out["waveform"].shape == (1, 48000)
+
+
+def test_batching_service_splits_mismatched_buckets():
+    """Requests with different (duration/steps) buckets are served in separate groups."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from foley_tpu.serving.server import BatchingFoleyService
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    svc = BatchingFoleyService(bundle, durations=(1.0,), text_buckets=(16,),
+                               default_steps=2, batch_window_s=0.2)
+    reqs = [
+        {"prompt": "a", "duration": 1.0, "steps": 2, "seed": 1},
+        {"prompt": "b", "duration": 1.0, "steps": 4, "seed": 2},  # different bucket
+        {"prompt": "c", "duration": 1.0, "steps": 2, "seed": 3},
+    ]
+    with ThreadPoolExecutor(3) as ex:
+        outs = list(ex.map(svc.generate, reqs))
+    for out in outs:
+        assert out["waveform"].shape == (1, 48000)
