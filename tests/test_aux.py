@@ -160,3 +160,10 @@ def test_orbax_sharded_restore(tmp_path):
     restored = load_params(path, template=params, shardings=shardings)
     assert restored["w"].sharding == shardings["w"]
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(params["w"]))
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/configs"), reason="reference not mounted")
+def test_reference_yamls_parse_to_presets():
+    """The reference repo's own YAML configs parse to our presets exactly."""
+    assert config_from_yaml("/root/reference/configs/hunyuanvideo-foley-xxl.yaml").model == XXL.model
+    assert config_from_yaml("/root/reference/configs/hunyuanvideo-foley-xl.yaml").model == XL.model
