@@ -294,12 +294,17 @@ class HunyuanFoleySampler:
             offload_fetch = host_memory_available()
 
         # --- phase 1: features ---
-        text_feat, uncond_text_feat = self._encode_text(
-            dependencies, prompt, negative_prompt, cfg
-        )
-        clip_feat = sync_feat = None
-        if image is not None:
-            clip_feat, sync_feat = self._encode_video(dependencies, image, frame_rate, duration, cfg)
+        from foley_tpu.utils.profiling import phase
+
+        with phase("feature extraction"):
+            text_feat, uncond_text_feat = self._encode_text(
+                dependencies, prompt, negative_prompt, cfg
+            )
+            clip_feat = sync_feat = None
+            if image is not None:
+                clip_feat, sync_feat = self._encode_video(
+                    dependencies, image, frame_rate, duration, cfg
+                )
 
         bundle = ModelBundle(
             mmdit_params=params,
@@ -311,19 +316,9 @@ class HunyuanFoleySampler:
         )
 
         # --- phase 2: denoise + decode ---
-        result = generate_audio(
-            bundle,
-            text_feat,
-            uncond_text_feat,
-            duration,
-            clip_feat=clip_feat,
-            sync_feat=sync_feat,
-            guidance_scale=cfg_scale,
-            num_inference_steps=steps,
-            sampler=sampler,
-            batch_size=batch_size,
-            seed=seed,
-        )
+        with phase(f"denoise ({steps} steps, {sampler}) + decode"):
+            result = self._generate(bundle, text_feat, uncond_text_feat, duration, clip_feat,
+                                    sync_feat, cfg_scale, steps, sampler, batch_size, seed)
         sr = result.sample_rate
 
         # force_offload: park the denoiser params in host memory until the next call
@@ -337,6 +332,23 @@ class HunyuanFoleySampler:
         return (
             {"waveform": result.audio_first, "sample_rate": sr},
             {"waveform": result.audio_batch, "sample_rate": sr},
+        )
+
+    @staticmethod
+    def _generate(bundle, text_feat, uncond_text_feat, duration, clip_feat, sync_feat,
+                  cfg_scale, steps, sampler, batch_size, seed):
+        return generate_audio(
+            bundle,
+            text_feat,
+            uncond_text_feat,
+            duration,
+            clip_feat=clip_feat,
+            sync_feat=sync_feat,
+            guidance_scale=cfg_scale,
+            num_inference_steps=steps,
+            sampler=sampler,
+            batch_size=batch_size,
+            seed=seed,
         )
 
     # -- feature helpers -----------------------------------------------------------
