@@ -339,7 +339,7 @@ def triple_block_apply(
     v_qkv = apply_dense(params["v_cond_attn_qkv"], v_in)
     v_q, v_k, v_v = (_split_heads(u, nh) for u in jnp.split(v_qkv, 3, axis=-1))
 
-    if (attn_impl == "pallas_fused" and cfg.qk_norm
+    if (attn_impl == "pallas_fused" and cfg.qk_norm and attn_mask is None
             and cfg.interleaved_audio_visual_rope and ropes.audio_joint is not None):
         # Fully fused joint attention: per-position norm-weight/RoPE tables over the
         # [v_cond; audio] concat, qk-RMSNorm + rotation + SDPA in one Pallas kernel.
