@@ -128,7 +128,14 @@ class HunyuanModelLoader:
 
 
 class HunyuanDependenciesLoader:
-    """Loads DAC-VAE + encoder checkpoints (reference ``nodes.py:156-206``)."""
+    """Loads DAC-VAE + Synchformer + SigLIP2 + CLAP (reference ``nodes.py:156-206``).
+
+    The reference fetches SigLIP2 (`google/siglip2-base-patch16-512`) and CLAP
+    (`laion/larger_clap_general`) from the Hugging Face hub (``nodes.py:199-201``); in the
+    zero-egress TPU deployment they load from local checkpoint paths/directories instead.
+    Empty paths skip the encoder (the sampler then requires ``allow_unconditioned=True`` to
+    run without text conditioning).
+    """
 
     @classmethod
     def INPUT_TYPES(cls):
@@ -137,7 +144,12 @@ class HunyuanDependenciesLoader:
                 "vae_model": ("STRING", {"default": "vae_128d_48k.safetensors"}),
                 "synchformer_model": ("STRING", {"default": "synchformer_state_dict.safetensors"}),
                 "precision": (["fp32", "fp16", "bf16"], {"default": "fp16"}),
-            }
+            },
+            "optional": {
+                "siglip2_model": ("STRING", {"default": ""}),
+                "clap_model": ("STRING", {"default": ""}),
+                "clap_tokenizer": ("STRING", {"default": ""}),
+            },
         }
 
     RETURN_TYPES = ("FOLEY_DEPS",)
@@ -145,7 +157,8 @@ class HunyuanDependenciesLoader:
     CATEGORY = "HunyuanVideoFoley-TPU"
 
     def load_dependencies(self, vae_model: str, synchformer_model: Optional[str] = None,
-                          precision: str = "fp16"):
+                          precision: str = "fp16", siglip2_model: str = "",
+                          clap_model: str = "", clap_tokenizer: str = ""):
         from foley_tpu.configs import DACConfig
 
         dac_cfg = DACConfig()
@@ -159,6 +172,17 @@ class HunyuanDependenciesLoader:
                 deps["synchformer"] = sync_mod.load(synchformer_model)
             except (ImportError, FileNotFoundError) as e:
                 logger.warning(f"Synchformer unavailable ({e}); V2A sync features disabled")
+        # A given-but-broken encoder path is an error (loud), an empty path is a skip.
+        if siglip2_model:
+            from foley_tpu.models import siglip2 as siglip_mod
+
+            deps["siglip2"] = siglip_mod.load(siglip2_model)
+            logger.info(f"SigLIP2 loaded from {siglip2_model}")
+        if clap_model:
+            from foley_tpu.models import clap as clap_mod
+
+            deps["clap"] = clap_mod.load(clap_model, tokenizer_path=clap_tokenizer or None)
+            logger.info(f"CLAP loaded from {clap_model}")
         return (deps,)
 
 
@@ -249,6 +273,7 @@ class HunyuanFoleySampler:
                 "image": ("IMAGE",),
                 "torch_compile_cfg": ("COMPILE_CFG",),
                 "block_swap_args": ("BLOCKSWAPARGS",),
+                "allow_unconditioned": ("BOOLEAN", {"default": False}),
             },
         }
 
@@ -274,6 +299,7 @@ class HunyuanFoleySampler:
         image: Optional[np.ndarray] = None,
         torch_compile_cfg: Optional[Dict] = None,
         block_swap_args: Optional[Dict] = None,
+        allow_unconditioned: bool = False,
     ):
         params = foley_model["params"]
         cfg: PipelineConfig = foley_model["cfg"]
@@ -285,6 +311,14 @@ class HunyuanFoleySampler:
             params = restore_params(params)
             foley_model["params"] = params
             foley_model["_offloaded"] = False
+        elif not foley_model.get("_device_committed"):
+            # Commit params to device memory up front: restore_params after a force_offload
+            # yields *committed* arrays, and jit treats committed vs uncommitted placements as
+            # different cache keys — without this, every park/restore cycle recompiles the
+            # denoise program (defeating warmup).
+            params = restore_params(params)
+            foley_model["params"] = params
+            foley_model["_device_committed"] = True
 
         offload_fetch = False
         if block_swap_args and block_swap_args.get("blocks_to_swap", 0) > 0:
@@ -298,7 +332,7 @@ class HunyuanFoleySampler:
 
         with phase("feature extraction"):
             text_feat, uncond_text_feat = self._encode_text(
-                dependencies, prompt, negative_prompt, cfg
+                dependencies, prompt, negative_prompt, cfg, allow_unconditioned
             )
             clip_feat = sync_feat = None
             if image is not None:
@@ -314,6 +348,11 @@ class HunyuanFoleySampler:
             compute_dtype=foley_model.get("dtype", jnp.bfloat16),
             offload_fetch=offload_fetch,
         )
+
+        # AOT warmup over the declared shape buckets (the torch.compile node's runtime role,
+        # reference nodes.py:358-364,433-607): compile before the timed generation phase.
+        if torch_compile_cfg:
+            self._warmup_compile(foley_model, bundle, torch_compile_cfg, cfg_scale, steps, sampler)
 
         # --- phase 2: denoise + decode ---
         with phase(f"denoise ({steps} steps, {sampler}) + decode"):
@@ -351,18 +390,68 @@ class HunyuanFoleySampler:
             seed=seed,
         )
 
+    @staticmethod
+    def _warmup_compile(foley_model: Dict, bundle: ModelBundle, compile_cfg: Dict,
+                        cfg_scale: float, steps: int, sampler: str) -> None:
+        """Pre-compile the declared (duration, batch, text-bucket) buckets before phase 2.
+
+        Plays the role of the reference's torch.compile block-compilation pass inside
+        ``generate_audio`` (``nodes.py:358-364,474-607``): the first run with a compile config
+        attached pays the XLA compile for every declared bucket; subsequent sampler calls that
+        land in a warmed bucket dispatch the cached program (zero new compiles). Warmed keys
+        are remembered on the model dict so repeat calls skip the warmup generations.
+        """
+        import time as _time
+
+        from foley_tpu.sampling.denoise import denoise_and_decode
+
+        warmed = foley_model.setdefault("_warm_buckets", set())
+        cfgm = bundle.pipeline_cfg.model
+        use_cfg = cfg_scale > 1.0
+        for d in compile_cfg.get("durations", (5,)):
+            for b in compile_cfg.get("batch_sizes", (1,)):
+                for tb in compile_cfg.get("text_buckets", (77,)):
+                    key = (float(d), int(b), int(tb), int(steps), sampler, use_cfg)
+                    if key in warmed:
+                        continue
+                    before = denoise_and_decode._cache_size()
+                    t0 = _time.perf_counter()
+                    z = jnp.zeros((1, int(tb), cfgm.condition_dim), jnp.float32)
+                    generate_audio(
+                        bundle, z, z, float(d), guidance_scale=cfg_scale,
+                        num_inference_steps=steps, sampler=sampler, batch_size=int(b),
+                        seed=0, text_bucket=int(tb),
+                    )
+                    missed = denoise_and_decode._cache_size() > before
+                    logger.info(
+                        f"compile warmup: duration={d}s batch={b} text_bucket={tb} "
+                        f"steps={steps} sampler={sampler} -> "
+                        f"{'compiled' if missed else 'cache hit'} "
+                        f"in {_time.perf_counter() - t0:.1f}s"
+                    )
+                    warmed.add(key)
+
     # -- feature helpers -----------------------------------------------------------
     @staticmethod
-    def _encode_text(deps: Dict, prompt: str, negative_prompt: str, cfg: PipelineConfig):
+    def _encode_text(deps: Dict, prompt: str, negative_prompt: str, cfg: PipelineConfig,
+                     allow_unconditioned: bool = False):
         if "clap" in deps:
             from foley_tpu.models import clap as clap_mod
 
             feats = clap_mod.encode_text(deps["clap"], [negative_prompt, prompt])
             return feats[1:2], feats[0:1]
-        # No text encoder loaded: zero features at the configured text length (T2A smoke path).
+        # No text encoder loaded. Running unconditioned silently would degrade the default
+        # node-graph path vs the reference (which always loads CLAP, nodes.py:200-201), so
+        # zero text features are opt-in.
+        if not allow_unconditioned:
+            raise ValueError(
+                "No CLAP text encoder in dependencies: pass clap_model/clap_tokenizer to "
+                "HunyuanDependenciesLoader, or set allow_unconditioned=True to generate "
+                "with zero text features."
+            )
         ltxt = cfg.model.text_length
         z = jnp.zeros((1, ltxt, cfg.model.condition_dim), jnp.float32)
-        logger.warning("CLAP unavailable; using zero text features")
+        logger.warning("CLAP unavailable; using zero text features (allow_unconditioned)")
         return z, z
 
     @staticmethod

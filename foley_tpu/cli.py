@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Edit an existing WAV toward the prompt (SDEdit-style partial denoise)")
     p.add_argument("--strength", type=float, default=0.6,
                    help="Edit strength in (0, 1]: fraction of the schedule to re-run")
+    p.add_argument("--allow_unconditioned", action="store_true",
+                   help="Permit generation with zero text features when CLAP is not loaded")
     return p
 
 
@@ -99,9 +101,15 @@ def main(argv=None) -> int:
                 config=args.config,
             )
             deps_loader = HunyuanDependenciesLoader()
+            # Encoders colocated under the model dir load automatically (clap/, siglip2/ —
+            # the layout pipeline/standalone.py uses); absent dirs are skipped.
+            clap_dir = os.path.join(mp, "clap")
+            siglip_dir = os.path.join(mp, "siglip2")
             (dependencies,) = deps_loader.load_dependencies(
                 os.path.join(mp, "vae_128d_48k.safetensors"),
                 os.path.join(mp, "synchformer_state_dict.safetensors"),
+                siglip2_model=siglip_dir if os.path.isdir(siglip_dir) else "",
+                clap_model=clap_dir if os.path.isdir(clap_dir) else "",
             )
 
         if args.audio_input:
@@ -128,6 +136,8 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             seed=args.seed,
             image=image,
+            # --random_init smoke runs have no text encoder by construction
+            allow_unconditioned=args.allow_unconditioned or bool(args.random_init),
         )
         dt = time.perf_counter() - t0
         wf = np.asarray(audio_first["waveform"])[0]  # [C, T]

@@ -62,7 +62,29 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load .pth (torch.load) or .safetensors into {key: numpy array}.
 
     Accepts the same payload shapes as the reference's ``_extract_state`` (utils.py:49-59).
+    A directory is treated as an HF checkpoint dir (model.safetensors / pytorch_model.bin /
+    first *.safetensors|*.pth found), merging sharded safetensors if present.
     """
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                return load_torch_state_dict(p)
+        shards = sorted(glob.glob(os.path.join(path, "model-*-of-*.safetensors")))
+        if shards:
+            merged: Dict[str, np.ndarray] = {}
+            for s in shards:
+                merged.update(load_torch_state_dict(s))
+            return merged
+        candidates = sorted(glob.glob(os.path.join(path, "*.safetensors"))) or sorted(
+            glob.glob(os.path.join(path, "*.pth"))
+        )
+        if not candidates:
+            raise FileNotFoundError(f"No checkpoint file under directory {path}")
+        return load_torch_state_dict(candidates[0])
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 

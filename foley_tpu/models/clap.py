@@ -195,8 +195,52 @@ def encode_text(encoder: ClapTextEncoder, prompts: List[str]) -> jnp.ndarray:
     return encoder.encode(prompts)
 
 
+def _infer_config(sd: Dict, prefix: str, model_path: str) -> ClapTextConfig:
+    """Derive the text-tower config from checkpoint shapes (+ colocated HF config.json).
+
+    Shape-derivable fields come from the state dict so any checkpoint size loads; head count,
+    pad id and LN eps are not in the shapes — they come from config.json when present, else
+    the larger_clap_general defaults (head_dim 64).
+    """
+    import json
+    import os
+
+    vocab_size, hidden = sd[prefix + "embeddings.word_embeddings.weight"].shape
+    max_pos = sd[prefix + "embeddings.position_embeddings.weight"].shape[0]
+    type_vocab = sd[prefix + "embeddings.token_type_embeddings.weight"].shape[0]
+    inter = sd[prefix + "encoder.layer.0.intermediate.dense.weight"].shape[0]
+    n_layers = 1 + max(
+        int(k.split(".")[len(prefix.split(".")) + 1])
+        for k in sd
+        if k.startswith(prefix + "encoder.layer.")
+    )
+    heads = max(1, hidden // 64)
+    pad_token_id, eps = 1, 1e-12
+    cfg_json = os.path.join(model_path, "config.json") if os.path.isdir(model_path) else None
+    if cfg_json and os.path.exists(cfg_json):
+        raw = json.load(open(cfg_json))
+        raw = raw.get("text_config", raw)
+        heads = int(raw.get("num_attention_heads", heads))
+        pad_token_id = int(raw.get("pad_token_id") or pad_token_id)
+        eps = float(raw.get("layer_norm_eps", eps))
+    return ClapTextConfig(
+        vocab_size=int(vocab_size), hidden_size=int(hidden), num_hidden_layers=int(n_layers),
+        num_attention_heads=heads, intermediate_size=int(inter),
+        max_position_embeddings=int(max_pos), type_vocab_size=int(type_vocab),
+        pad_token_id=pad_token_id, layer_norm_eps=eps,
+    )
+
+
 def load(model_path: str, tokenizer_path: Optional[str] = None) -> ClapTextEncoder:
-    """Load from a local HF checkpoint directory or state-dict file."""
+    """Load from a local HF checkpoint directory or state-dict file.
+
+    Tokenizer resolution (zero-egress friendly): an explicit ``tokenizer_path`` wins; else a
+    tokenizer colocated with a directory checkpoint is used; else fall back to the hub id
+    ``roberta-base`` (the reference's CLAP tokenizer family, ``nodes.py:200``) — which needs
+    network/HF-cache access, so failures get a clear local-path hint.
+    """
+    import os
+
     from foley_tpu.io.convert import load_torch_state_dict
 
     sd = load_torch_state_dict(model_path)
@@ -204,9 +248,21 @@ def load(model_path: str, tokenizer_path: Optional[str] = None) -> ClapTextEncod
     prefix = ""
     if any(k.startswith("text_model.") for k in sd):
         prefix = "text_model."
-    cfg = ClapTextConfig()
+    cfg = _infer_config(sd, prefix, model_path)
     params = convert_hf_state_dict(sd, cfg, prefix=prefix)
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(tokenizer_path or "roberta-base")
+    if not tokenizer_path and os.path.isdir(model_path) and any(
+        os.path.exists(os.path.join(model_path, f))
+        for f in ("tokenizer.json", "tokenizer_config.json", "vocab.json")
+    ):
+        tokenizer_path = model_path
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(tokenizer_path or "roberta-base")
+    except Exception as e:
+        raise RuntimeError(
+            f"CLAP tokenizer load failed ({e}); in an offline environment pass a local "
+            "tokenizer directory via tokenizer_path (or colocate tokenizer.json with a "
+            "directory checkpoint)."
+        ) from e
     return ClapTextEncoder(params, cfg, tokenizer)

@@ -227,10 +227,49 @@ def encode_frames(encoder: Siglip2Encoder, frames: np.ndarray) -> jnp.ndarray:
     return encoder.encode(frames)
 
 
+def _infer_config(sd, prefix: str, model_path: str) -> SiglipVisionConfig:
+    """Derive the vision config from checkpoint shapes (+ colocated HF config.json).
+
+    Hidden/intermediate/layers/patch/image size are shape-derivable; head count is not —
+    config.json wins when present, else head_dim-64 (the siglip2-base family default).
+    """
+    import json
+    import math
+    import os
+
+    pe = sd[prefix + "embeddings.patch_embedding.weight"]
+    hidden = pe.shape[0]
+    if pe.ndim == 4:  # conv2d [h, C, P, P]
+        channels, patch = pe.shape[1], pe.shape[2]
+    else:  # naflex linear [h, P*P*C]
+        channels, patch = 3, int(math.isqrt(pe.shape[1] // 3))
+    n_pos = sd[prefix + "embeddings.position_embedding.weight"].shape[0]
+    image_size = int(math.isqrt(n_pos)) * patch
+    inter = sd[prefix + "encoder.layers.0.mlp.fc1.weight"].shape[0]
+    n_layers = 1 + max(
+        int(k[len(prefix + "encoder.layers."):].split(".")[0])
+        for k in sd
+        if k.startswith(prefix + "encoder.layers.")
+    )
+    heads = max(1, hidden // 64)
+    eps = 1e-6
+    cfg_json = os.path.join(model_path, "config.json") if os.path.isdir(model_path) else None
+    if cfg_json and os.path.exists(cfg_json):
+        raw = json.load(open(cfg_json))
+        raw = raw.get("vision_config", raw)
+        heads = int(raw.get("num_attention_heads", heads))
+        eps = float(raw.get("layer_norm_eps", eps))
+    return SiglipVisionConfig(
+        hidden_size=int(hidden), intermediate_size=int(inter), num_hidden_layers=int(n_layers),
+        num_attention_heads=heads, image_size=int(image_size), patch_size=int(patch),
+        num_channels=int(channels), layer_norm_eps=eps,
+    )
+
+
 def load(model_path: str, cfg: Optional[SiglipVisionConfig] = None) -> Siglip2Encoder:
     from foley_tpu.io.convert import load_torch_state_dict
 
     sd = load_torch_state_dict(model_path)
-    cfg = cfg or SiglipVisionConfig()
     prefix = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    cfg = cfg or _infer_config(sd, prefix, model_path)
     return Siglip2Encoder(convert_hf_state_dict(sd, cfg, prefix=prefix), cfg)

@@ -42,7 +42,7 @@ def test_sampler_accepts_torch_image_and_returns_torch_audio():
     sampler = comfyui_adapter.NODE_CLASS_MAPPINGS["HunyuanFoleySampler"]()
     first, batch = sampler.generate_audio(
         foley_model, deps, duration=1.0, prompt="x", steps=2, batch_size=2, seed=0,
-        image=image,
+        image=image, allow_unconditioned=True,
     )
     assert isinstance(first["waveform"], torch.Tensor)
     assert first["waveform"].shape == (1, 1, 48000)

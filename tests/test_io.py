@@ -144,68 +144,14 @@ def test_convert_mmdit_and_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def _wn_conv_sd(prefix, conv, sd):
-    """Old-style weight-norm keys from a plain torch conv."""
-    import torch.nn.utils.parametrizations as P
-
-    wn = P.weight_norm(conv)
-    sd[f"{prefix}.weight_g"] = wn.parametrizations.weight.original0.detach().numpy()
-    sd[f"{prefix}.weight_v"] = wn.parametrizations.weight.original1.detach().numpy()
-    if conv.bias is not None:
-        sd[f"{prefix}.bias"] = conv.bias.detach().numpy()
-    return wn.weight.detach().numpy()
-
-
 def test_convert_dac_decoder_matches_plain_weights():
-    """Converting a weight-normed tiny DAC decoder must produce folded weights equal to the
-    torch effective weights, and decode must run."""
-    torch.manual_seed(0)
-    cfg = TINY.dac
-    sd = {}
-    d = cfg.decoder_dim
-    # decoder.model.0 conv_in
-    eff = _wn_conv_sd("decoder.model.0", torch.nn.Conv1d(cfg.latent_dim, d, 7, padding=3), sd)
-    # blocks
-    out_dim = d
-    for i, s in enumerate(cfg.decoder_rates):
-        in_dim, out_dim = d // 2 ** i, d // 2 ** (i + 1)
-        b = f"decoder.model.{i+1}.block"
-        sd[f"{b}.0.alpha"] = np.ones((1, in_dim, 1), np.float32)
-        _wn_conv_sd(f"{b}.1", torch.nn.ConvTranspose1d(in_dim, out_dim, 2 * s, stride=s), sd)
-        for j, dil in zip((2, 3, 4), (1, 3, 9)):
-            sd[f"{b}.{j}.block.0.alpha"] = np.ones((1, out_dim, 1), np.float32)
-            _wn_conv_sd(f"{b}.{j}.block.1",
-                        torch.nn.Conv1d(out_dim, out_dim, 7, dilation=dil, padding=3 * dil), sd)
-            sd[f"{b}.{j}.block.2.alpha"] = np.ones((1, out_dim, 1), np.float32)
-            _wn_conv_sd(f"{b}.{j}.block.3", torch.nn.Conv1d(out_dim, out_dim, 1), sd)
-    n = len(cfg.decoder_rates)
-    sd[f"decoder.model.{n+1}.alpha"] = np.ones((1, out_dim, 1), np.float32)
-    _wn_conv_sd(f"decoder.model.{n+2}", torch.nn.Conv1d(out_dim, 1, 7, padding=3), sd)
-    # encoder (minimal: reuse converter; build matching keys)
-    e = cfg.encoder_dim
-    _wn_conv_sd("encoder.block.0", torch.nn.Conv1d(1, e, 7, padding=3), sd)
-    dim = e
-    for i, s in enumerate(cfg.encoder_rates):
-        dim *= 2
-        b = f"encoder.block.{i+1}.block"
-        for j, dil in zip((0, 1, 2), (1, 3, 9)):
-            sd[f"{b}.{j}.block.0.alpha"] = np.ones((1, dim // 2, 1), np.float32)
-            _wn_conv_sd(f"{b}.{j}.block.1",
-                        torch.nn.Conv1d(dim // 2, dim // 2, 7, dilation=dil, padding=3 * dil), sd)
-            sd[f"{b}.{j}.block.2.alpha"] = np.ones((1, dim // 2, 1), np.float32)
-            _wn_conv_sd(f"{b}.{j}.block.3", torch.nn.Conv1d(dim // 2, dim // 2, 1), sd)
-        sd[f"{b}.3.alpha"] = np.ones((1, dim // 2, 1), np.float32)
-        import math
-        _wn_conv_sd(f"{b}.4", torch.nn.Conv1d(dim // 2, dim, 2 * s, stride=s,
-                                              padding=math.ceil(s / 2)), sd)
-    n = len(cfg.encoder_rates)
-    sd[f"encoder.block.{n+1}.alpha"] = np.ones((1, dim, 1), np.float32)
-    _wn_conv_sd(f"encoder.block.{n+2}", torch.nn.Conv1d(dim, cfg.latent_dim, 3, padding=1), sd)
-    qc = torch.nn.Conv1d(cfg.latent_dim, 2 * cfg.latent_dim, 1)
-    sd["quant_conv.weight"], sd["quant_conv.bias"] = qc.weight.detach().numpy(), qc.bias.detach().numpy()
-    pc = torch.nn.Conv1d(cfg.latent_dim, cfg.latent_dim, 1)
-    sd["post_quant_conv.weight"], sd["post_quant_conv.bias"] = pc.weight.detach().numpy(), pc.bias.detach().numpy()
+    """Converting a weight-normed tiny DAC checkpoint (reference key layout, built by
+    tests/helpers.make_dac_state_dict) must produce folded weights equal to the torch
+    effective weights, and decode must run."""
+    from helpers import make_dac_state_dict
 
+    cfg = TINY.dac
+    sd, eff = make_dac_state_dict(cfg)
     params = convert_dac_state_dict(sd, cfg, strict=True)
     # conv_in folded weight equals torch effective weight (transposed layout)
     np.testing.assert_allclose(

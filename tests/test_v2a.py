@@ -50,7 +50,7 @@ def test_v2a_end_to_end(tiny_stack):
     audio_first, audio_batch = HunyuanFoleySampler().generate_audio(
         foley_model, deps, frame_rate=16, duration=1.0,
         prompt="clink", negative_prompt="noisy", cfg_scale=4.5, steps=2,
-        sampler="euler", batch_size=2, seed=0, image=frames,
+        sampler="euler", batch_size=2, seed=0, image=frames, allow_unconditioned=True,
     )
     wf = np.asarray(audio_batch["waveform"])
     assert wf.shape == (2, 1, 48000)
@@ -78,7 +78,8 @@ def test_v2a_differs_from_t2a(tiny_stack):
 
     frames = np.random.default_rng(1).random((16, 40, 40, 3)).astype(np.float32)
     kwargs = dict(frame_rate=16, duration=1.0, prompt="clink", negative_prompt="noisy",
-                  cfg_scale=4.5, steps=2, sampler="euler", batch_size=1, seed=0)
+                  cfg_scale=4.5, steps=2, sampler="euler", batch_size=1, seed=0,
+                  allow_unconditioned=True)
     v2a, _ = HunyuanFoleySampler().generate_audio(foley_model, deps, image=frames, **kwargs)
     t2a, _ = HunyuanFoleySampler().generate_audio(foley_model, deps, image=None, **kwargs)
     assert np.abs(np.asarray(v2a["waveform"]) - np.asarray(t2a["waveform"])).max() > 0
