@@ -67,11 +67,15 @@ class HunyuanModelLoader(_nodes.HunyuanModelLoader):
 
 
 class HunyuanDependenciesLoader(_nodes.HunyuanDependenciesLoader):
-    def load_dependencies(self, vae_model, synchformer_model=None, precision="fp16"):
+    def load_dependencies(self, vae_model, synchformer_model=None, precision="fp16",
+                          siglip2_model="", clap_model="", clap_tokenizer=""):
         return super().load_dependencies(
             _resolve_model_path(vae_model),
             _resolve_model_path(synchformer_model) if synchformer_model else None,
             precision,
+            siglip2_model=_resolve_model_path(siglip2_model) if siglip2_model else "",
+            clap_model=_resolve_model_path(clap_model) if clap_model else "",
+            clap_tokenizer=_resolve_model_path(clap_tokenizer) if clap_tokenizer else "",
         )
 
 

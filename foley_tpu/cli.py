@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Edit strength in (0, 1]: fraction of the schedule to re-run")
     p.add_argument("--allow_unconditioned", action="store_true",
                    help="Permit generation with zero text features when CLAP is not loaded")
+    p.add_argument("--gradio", action="store_true",
+                   help="Launch the prompt-box web UI (reference cli.py:42,88-96) instead of "
+                        "one-shot generation; serves GET / plus the JSON/WAV API")
+    p.add_argument("--host", type=str, default="127.0.0.1", help="--gradio bind host")
+    p.add_argument("--port", type=int, default=8321, help="--gradio bind port")
     return p
 
 
@@ -66,6 +71,23 @@ def main(argv=None) -> int:
     from foley_tpu.utils.logging import get_logger
 
     logger = get_logger()
+
+    if args.gradio:
+        # Web-UI mode: hand off to the serving stack (warmup + HTTP server + browser UI).
+        from foley_tpu.serving import server as serving_server
+
+        serve_argv = ["--host", args.host, "--port", str(args.port),
+                      "--precision", args.precision,
+                      "--durations", str(args.duration),
+                      "--warmup_steps", str(args.num_inference_steps)]
+        if args.random_init:
+            serve_argv += ["--random_init", args.random_init]
+        elif args.model_path:
+            serve_argv += ["--model_path", args.model_path]
+        else:
+            print("error: --gradio needs --model_path or --random_init", file=sys.stderr)
+            return 2
+        return serving_server.main(serve_argv)
 
     if args.desync_score:
         return _desync_score(args, logger)

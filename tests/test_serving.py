@@ -188,3 +188,22 @@ def test_batching_service_splits_mismatched_buckets():
         outs = list(ex.map(svc.generate, reqs))
     for out in outs:
         assert out["waveform"].shape == (1, 48000)
+
+
+def test_cli_gradio_flag(monkeypatch):
+    """--gradio hands off to the serving stack with mapped args (reference cli.py:88-96)."""
+    import foley_tpu.serving.server as srv
+    from foley_tpu.cli import main
+
+    captured = {}
+    monkeypatch.setattr(srv, "main", lambda argv: captured.update(argv=argv) or 0)
+    rc = main(["--gradio", "--random_init", "tiny", "--duration", "2",
+               "--num_inference_steps", "4", "--port", "9999"])
+    assert rc == 0
+    argv = captured["argv"]
+    assert argv[argv.index("--random_init") + 1] == "tiny"
+    assert argv[argv.index("--port") + 1] == "9999"
+    assert argv[argv.index("--durations") + 1] == "2.0"
+    assert argv[argv.index("--warmup_steps") + 1] == "4"
+    # no model source -> usage error
+    assert main(["--gradio"]) == 2
