@@ -117,20 +117,36 @@ class FoleyService:
 
 
 class BatchingFoleyService(FoleyService):
-    """Request-coalescing service: concurrent requests with matching shape buckets
+    """Continuous-batching service: concurrent requests with matching shape buckets
     (duration, steps, sampler, cfg_scale) are micro-batched into one TPU program via
-    ``generate_audio_multi`` — distinct prompts and seeds per row. Falls back to the base
-    serialized path for video requests or singletons."""
+    ``generate_audio_multi`` — distinct prompts and seeds per row.
 
-    def __init__(self, *args, max_batch: int = 4, batch_window_s: float = 0.05, **kwargs):
+    Two-stage pipeline (continuous batching): a *former* thread admits queued requests into
+    groups and runs the host/encoder work (CLAP text encoding, padding) while the previous
+    group's denoise program is still on-device; prepared groups hand off through a bounded
+    queue to a *dispatcher* thread that owns the device. So >1 group is in flight at a time:
+    group N executes while group N+1 is formed and encoded, keeping the chip busy back-to-back
+    instead of serving one request-group per wall-clock round trip.
+    """
+
+    def __init__(self, *args, max_batch: int = 4, batch_window_s: float = 0.05,
+                 pipeline_depth: int = 2, **kwargs):
         super().__init__(*args, **kwargs)
+        import queue as _queue
+
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self._queue: "list" = []
         self._queue_lock = threading.Lock()
         self._queue_event = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        # prepared-group handoff; bounded so the former backpressures instead of running
+        # unboundedly ahead of the device
+        self._dispatch_q: "_queue.Queue" = _queue.Queue(maxsize=max(pipeline_depth - 1, 1))
+        self.events: List[Tuple[str, int, float]] = []  # (stage, group_id, t) observability
+        self._events_lock = threading.Lock()
+        self._group_counter = 0
+        threading.Thread(target=self._form_loop, daemon=True).start()
+        threading.Thread(target=self._dispatch_loop, daemon=True).start()
 
     class _Pending:
         def __init__(self, request):
@@ -157,7 +173,21 @@ class BatchingFoleyService(FoleyService):
             float(req.get("cfg_scale", 4.5)),
         )
 
-    def _run(self):
+    def _mark(self, stage: str, gid: int) -> None:
+        import time as _time
+
+        with self._events_lock:
+            self.events.append((stage, gid, _time.monotonic()))
+
+    def groups_in_flight(self) -> int:
+        """Groups prepared or executing but not yet finished (from the event log)."""
+        with self._events_lock:
+            started = {g for s, g, _ in self.events if s == "prepare_start"}
+            finished = {g for s, g, _ in self.events if s == "done"}
+        return len(started - finished)
+
+    def _form_loop(self):
+        """Admit requests into bucket groups and run host-side prep, overlapping the device."""
         import time as _time
 
         while True:
@@ -174,19 +204,35 @@ class BatchingFoleyService(FoleyService):
                     self._queue.remove(p)
                 if not self._queue:
                     self._queue_event.clear()
+                self._group_counter += 1
+                gid = self._group_counter
             try:
-                self._serve_group(group, bucket)
+                self._mark("prepare_start", gid)
+                prepared = self._prepare_group(group, bucket)
+                self._mark("prepare_done", gid)
+                self._dispatch_q.put((gid, group, bucket, prepared))  # blocks at depth limit
             except Exception as e:  # noqa: BLE001
                 for p in group:
                     p.error = e
                     p.event.set()
 
-    def _serve_group(self, group, bucket):
+    def _dispatch_loop(self):
+        while True:
+            gid, group, bucket, prepared = self._dispatch_q.get()
+            try:
+                self._mark("device_start", gid)
+                self._dispatch_group(group, bucket, prepared)
+            except Exception as e:  # noqa: BLE001
+                for p in group:
+                    p.error = e
+                    p.event.set()
+            finally:
+                self._mark("done", gid)
+
+    def _prepare_group(self, group, bucket):
+        """Host/encoder work for one group (runs while the previous group is on-device)."""
         import jax.numpy as jnp
 
-        from foley_tpu.pipeline.generate import generate_audio_multi
-
-        duration, steps, sampler, cfg_scale = bucket
         tb = self.text_buckets[0]
         dim = self.bundle.pipeline_cfg.model.condition_dim
         texts, unconds, seeds = [], [], []
@@ -210,12 +256,18 @@ class BatchingFoleyService(FoleyService):
         pad = lambda t: np.pad(t, ((0, max_l - t.shape[0]), (0, 0)))
         text_b = jnp.asarray(np.stack([pad(t) for t in texts]))
         uncond_b = jnp.asarray(np.stack([pad(t) for t in unconds]))
+        return text_b, uncond_b, seeds
 
+    def _dispatch_group(self, group, bucket, prepared):
+        from foley_tpu.pipeline.generate import generate_audio_multi
+
+        duration, steps, sampler, cfg_scale = bucket
+        text_b, uncond_b, seeds = prepared
         with self._lock:
             result = generate_audio_multi(
                 self.bundle, text_b, uncond_b, duration, seeds,
                 guidance_scale=cfg_scale, num_inference_steps=steps, sampler=sampler,
-                text_bucket=tb,
+                text_bucket=self.text_buckets[0],
             )
         for i, p in enumerate(group):
             n = int(float(p.request.get("duration", duration)) * result.sample_rate)

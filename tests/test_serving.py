@@ -207,3 +207,57 @@ def test_cli_gradio_flag(monkeypatch):
     assert argv[argv.index("--warmup_steps") + 1] == "4"
     # no model source -> usage error
     assert main(["--gradio"]) == 2
+
+
+def test_continuous_batching_overlaps_groups(monkeypatch):
+    """While group 1 executes on-device, group 2 is admitted and fully prepared
+    (>1 group in flight — continuous batching, not serve-one-group-at-a-time)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import foley_tpu.pipeline.generate as gen_mod
+    from foley_tpu.serving.server import BatchingFoleyService
+
+    bundle = ModelBundle(
+        mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    svc = BatchingFoleyService(bundle, durations=(1.0,), text_buckets=(16,),
+                               default_steps=2, max_batch=1, batch_window_s=0.02,
+                               pipeline_depth=2)
+
+    device_busy = threading.Event()
+    release = threading.Event()
+    real = gen_mod.generate_audio_multi
+    n_calls = []
+
+    def gated(*args, **kwargs):
+        n_calls.append(1)
+        if len(n_calls) == 1:  # hold group 1 "on device" until the test releases it
+            device_busy.set()
+            assert release.wait(timeout=60)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gen_mod, "generate_audio_multi", gated)
+
+    reqs = [{"prompt": f"p{i}", "duration": 1.0, "steps": 2, "seed": i} for i in range(2)]
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(svc.generate, r) for r in reqs]
+        assert device_busy.wait(timeout=60)
+        # group 2 must reach prepare_done while group 1 is still on-device
+        deadline = time.monotonic() + 60
+        prepared = set()
+        while time.monotonic() < deadline:
+            with svc._events_lock:
+                prepared = {g for s, g, _ in svc.events if s == "prepare_done"}
+            if len(prepared) >= 2:
+                break
+            time.sleep(0.01)
+        assert len(prepared) >= 2, svc.events
+        assert svc.groups_in_flight() >= 2
+        release.set()
+        outs = [f.result(timeout=300) for f in futs]
+    for out in outs:
+        assert out["waveform"].shape == (1, 48000)
