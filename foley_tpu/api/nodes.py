@@ -51,7 +51,7 @@ class HunyuanModelLoader:
             "required": {
                 "model_name": ("STRING", {"default": "hunyuanvideo_foley.safetensors"}),
                 "precision": (["auto", "bf16", "fp16", "fp32"], {"default": "auto"}),
-                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2"], {"default": "none"}),
+                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8"], {"default": "none"}),
             },
             "optional": {"config": (["xxl", "xl", "tiny"], {"default": "xxl"})},
         }
@@ -86,10 +86,15 @@ class HunyuanModelLoader:
             qmode = quantization
             if qmode == "auto":
                 qmode = ckpt_fp8 or "fp8_e4m3fn"
-            params, counts, saved = quantize_fp8(params, qmode)
+            if qmode == "int8":
+                from foley_tpu.io.quantize import quantize_int8
+
+                params, counts, saved = quantize_int8(params)
+            else:
+                params, counts, saved = quantize_fp8(params, qmode)
             logger.info(
-                f"fp8 wrap: {counts['quantized']} weights quantized, "
-                f"{saved / 2**30:.2f} GiB saved ({qmode})"
+                f"{qmode} wrap: {counts['quantized']} weights quantized, "
+                f"{saved / 2**30:.2f} GiB saved"
             )
         logger.info(f"MMDiT loaded: {param_bytes(params) / 2**30:.2f} GiB resident ({precision})")
         return ({"params": params, "cfg": cfg, "dtype": dtype},)
@@ -113,8 +118,13 @@ class HunyuanModelLoader:
         params = cast_params(params, dtype, predicate=lambda p, l: l.dtype not in FP8_DTYPES)
         if quantization != "none":
             qmode = "fp8_e4m3fn" if quantization == "auto" else quantization
-            params, counts, saved = quantize_fp8(params, qmode)
-            logger.info(f"fp8 wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
+            if qmode == "int8":
+                from foley_tpu.io.quantize import quantize_int8
+
+                params, counts, saved = quantize_int8(params)
+            else:
+                params, counts, saved = quantize_fp8(params, qmode)
+            logger.info(f"{qmode} wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
         logger.info(f"MMDiT loaded from orbax: {param_bytes(params) / 2**30:.2f} GiB ({precision})")
         return ({"params": params, "cfg": cfg, "dtype": dtype},)
 

@@ -18,6 +18,26 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+# Auto-dispatch threshold, measured on v5e (tools/profile_r2.py, XXL denoise ms/step, CFG
+# batch 2): audio tokens 250 -> xla 39.26 / pallas_fused 39.06 (tie); 750 -> 99.42 / 98.95
+# (tie); 1500 -> 249.97 / 190.39 (fused 1.31x); 3000 -> 767.60 / 424.37 (fused 1.81x).
+# XLA's unfused attention materializes the [B, H, L, L] fp32 score tensor through HBM, which
+# starts dominating past ~1k tokens; the fused VMEM-resident kernel never loses, so auto
+# switches where the win is unambiguous and keeps the numerically-reference xla path at the
+# short (5-15 s) shipping lengths.
+PALLAS_FUSED_MIN_TOKENS = 1000
+
+
+def resolve_attn_impl(impl: str, audio_tokens: int) -> str:
+    """Resolve impl="auto" by audio sequence length (host-side; impl is a static jit arg)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        return "xla"  # pallas kernels are TPU-only (tests run on the CPU backend)
+    return "pallas_fused" if audio_tokens >= PALLAS_FUSED_MIN_TOKENS else "xla"
+
 
 def sdpa(
     q: jnp.ndarray,

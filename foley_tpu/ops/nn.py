@@ -25,8 +25,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _match(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Upcast weight storage dtype (possibly fp8/fp32) to the activation dtype."""
+def _match(w, x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast weight storage dtype (possibly fp8/fp32) to the activation dtype.
+
+    int8 weight-only quantization stores a weight as ``{"int8": q, "scale": s}``
+    (``foley_tpu/io/quantize.py::quantize_int8``); the per-channel dequant multiply here is
+    fused by XLA into the consuming matmul's operand read.
+    """
+    if isinstance(w, dict) and "int8" in w:
+        return w["int8"].astype(x.dtype) * w["scale"].astype(x.dtype)
     return w if w.dtype == x.dtype else w.astype(x.dtype)
 
 
@@ -60,6 +67,11 @@ def conv1d(
     """Channel-last 1-D convolution. x [B, T, Cin], w [K, Cin/groups, Cout] -> [B, T', Cout].
 
     Matches torch ``F.conv1d`` (cross-correlation) numerics with symmetric integer padding.
+
+    Measured-and-closed (v5e): lowering small-K stride-1 convs as K shifted matmuls is
+    SLOWER than XLA's convolution fusion (bench 2.41 vs 2.80 audio-sec/sec at XXL-5s) — the
+    conv fusion reuses input tiles across taps; K separate dots re-stream the activations.
+    Keep the native conv op.
     """
     out = lax.conv_general_dilated(
         x,
@@ -117,17 +129,23 @@ def conv_transpose1d(
     x [B, T, Cin], w [K, Cin, Cout] -> [B, (T-1)*stride - 2*padding + dilation*(K-1)
     + output_padding + 1, Cout].
 
-    Implemented as the standard equivalence ``conv_transpose(x, w) = conv(dilate(x, s),
-    flip(w))``: the input is zero-stuffed with ``lax.pad`` interior padding (plus edge padding
-    ``dilation*(K-1) - padding``, + output_padding on the right), then correlated with the
-    spatially-flipped kernel by a plain stride-1 conv. Explicit padding is used instead of the
-    conv's ``lhs_dilation`` because XLA miscompiles lhs_dilation for some (stride, pad)
-    combinations (observed at stride=3/pad=2/output_padding=1 — the DAC decoder's 4th stage —
-    on the axon TPU backend: output shifted by one from index 1);
-    a separate pad op also fuses cleanly and keeps the conv itself a dense MXU-tileable op.
-    This is the geometry the DAC decoder's upsampling stack uses (reference ``dac.py:98-117``:
-    k=2s, padding=ceil(s/2), output_padding=s%2).
+    Fast path (dilation == 1, stride > 1 — every DAC upsampling stage): **polyphase
+    decomposition**. Zero-stuffing the input (the textbook conv-transpose lowering) makes the
+    upsample conv spend stride× more MACs multiplying structural zeros; instead, each output
+    phase ``r = t mod stride`` only touches the ``ceil(K/stride)`` kernel taps congruent to it,
+    so the op becomes ``stride`` small shifted matmuls interleaved on the time axis — the
+    polyphase optimum (T_out*K/s*Cin*Cout MACs) and pure MXU-tileable dot products. Exact
+    same sums of products as the reference's ConvTranspose1d (``dac.py:98-117``: k=2s,
+    padding=ceil(s/2), output_padding=s%2).
+
+    Fallback (dilated/unit-stride): ``conv_transpose(x, w) = conv(dilate(x, s), flip(w))``
+    with explicit ``lax.pad`` zero-stuffing. Explicit padding is used instead of the conv's
+    ``lhs_dilation`` because XLA miscompiles lhs_dilation for some (stride, pad) combinations
+    (observed at stride=3/pad=2/output_padding=1 — the DAC decoder's 4th stage — on the axon
+    TPU backend: output shifted by one from index 1).
     """
+    if dilation == 1 and stride > 1:
+        return _conv_transpose1d_polyphase(x, w, b, stride, padding, output_padding)
     k = w.shape[0]
     pad = dilation * (k - 1) - padding
     if pad < 0:
@@ -149,6 +167,52 @@ def conv_transpose1d(
     if b is not None:
         out = out + _match(b, x)
     return out
+
+
+def _conv_transpose1d_polyphase(
+    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], stride: int,
+    padding: int, output_padding: int,
+) -> jnp.ndarray:
+    """Polyphase transposed conv: y[s*q + r] = sum_m x[q + o_r + m] @ w[K-1 - (j0_r + m*s)].
+
+    Derivation: with pad0 = K-1-padding, the zero-stuffed-conv form gives
+    y[t] = sum_j [ (t + j - pad0) % s == 0 ] * x[(t + j - pad0) / s] @ w[K-1-j]; writing
+    t = s*q + r, the surviving j are j0_r + m*s with j0_r = (pad0 - r) % s, and the input
+    index becomes q + o_r + m with o_r = (r + j0_r - pad0) / s (an exact integer).
+    """
+    B, T, _ = x.shape
+    K, _, Cout = w.shape
+    s = stride
+    t_out = (T - 1) * s - 2 * padding + K + output_padding
+    pad0 = K - 1 - padding
+    if pad0 < 0:
+        raise ValueError(f"Unsupported negative effective pad: k={K}, padding={padding}")
+    q_n = -(-t_out // s)  # output groups per phase (ceil)
+
+    phases = []  # (o_r, [kernel tap indices K-1-j])
+    for r in range(s):
+        j0 = (pad0 - r) % s
+        o_r = (r + j0 - pad0) // s
+        phases.append((o_r, [K - 1 - j for j in range(j0, K, s)]))
+
+    left = max(0, -min(o for o, _ in phases))
+    right_need = max(o + len(t) - 1 for o, t in phases) + q_n - 1 - (T - 1)
+    xp = jnp.pad(x, ((0, 0), (left, max(0, right_need + left)), (0, 0)))
+
+    prec = _precision(x)
+    wx = _match(w, x)
+    outs = []
+    for o_r, taps in phases:
+        acc = None
+        for m, kidx in enumerate(taps):
+            seg = lax.slice_in_dim(xp, left + o_r + m, left + o_r + m + q_n, axis=1)
+            term = jnp.einsum("btc,cd->btd", seg, wx[kidx], precision=prec)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    y = jnp.stack(outs, axis=2).reshape(B, q_n * s, Cout)[:, :t_out]
+    if b is not None:
+        y = y + _match(b, x)
+    return y
 
 
 # ---------------------------------------------------------------------------------

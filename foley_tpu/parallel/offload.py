@@ -69,8 +69,12 @@ def offload_block_suffix(params: Dict, blocks_to_swap: int) -> Dict:
     """
     if blocks_to_swap <= 0 or not host_memory_available():
         return params
-    n_triple = params["triple_blocks"]["audio_mod"]["w"].shape[0]
-    n_single = params["single_blocks"]["modulation"]["w"].shape[0]
+    def _depth(p):  # int8-quantized weights store {"int8": q, "scale": s} in place of 'w'
+        leaf = p["w"]
+        return (leaf["int8"] if isinstance(leaf, dict) else leaf).shape[0]
+
+    n_triple = _depth(params["triple_blocks"]["audio_mod"])
+    n_single = _depth(params["single_blocks"]["modulation"])
     total = n_triple + n_single
     blocks_to_swap = min(blocks_to_swap, total)
 

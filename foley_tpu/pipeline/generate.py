@@ -72,7 +72,7 @@ def generate_audio(
     sampler: str = "euler",
     batch_size: int = 1,
     seed: int = 0,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     text_bucket: Optional[int] = None,
     return_latents: bool = False,
 ) -> GenerationResult:
@@ -100,6 +100,9 @@ def generate_audio(
     )
 
     latent_len = cfg.latent_length(duration_s)
+    from foley_tpu.ops.attention import resolve_attn_impl
+
+    attn_impl = resolve_attn_impl(attn_impl, latent_len)
     key = jax.random.PRNGKey(seed)
     latents = prepare_latents(key, batch_size, latent_len, cfg.model.audio_vae_latent_dim)
 
@@ -150,7 +153,7 @@ def generate_audio_multi(
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
     sampler: str = "euler",
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     text_bucket: Optional[int] = None,
 ) -> GenerationResult:
     """Batched generation with *distinct per-row prompts and seeds* (serving micro-batching).
@@ -183,6 +186,9 @@ def generate_audio_multi(
         features = DenoiseFeatures(cond=text, clip_feat=clip, sync_feat=sync)
 
     latent_len = cfg.latent_length(duration_s)
+    from foley_tpu.ops.attention import resolve_attn_impl
+
+    attn_impl = resolve_attn_impl(attn_impl, latent_len)
     rows = [
         prepare_latents(jax.random.PRNGKey(int(s)), 1, latent_len, cfg.model.audio_vae_latent_dim)
         for s in seeds

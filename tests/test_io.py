@@ -265,3 +265,46 @@ def test_validate_parity_tool(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "PASS" in r.stdout
+
+
+def test_int8_quantize_policy_and_fidelity():
+    from foley_tpu.io.quantize import quantize_int8
+    from foley_tpu.ops.nn import dense
+
+    params = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q, counts, saved = quantize_int8(params)
+    assert counts["quantized"] > 0 and saved > 0
+    flat_q = q["triple_blocks"]["audio_self_attn_qkv"]["w"]
+    assert isinstance(flat_q, dict) and flat_q["int8"].dtype == jnp.int8
+    # per-depth, per-out-channel scales for stacked leaves
+    d, i, o = params["triple_blocks"]["audio_self_attn_qkv"]["w"].shape
+    assert flat_q["scale"].shape == (d, 1, o)
+    # deny-list honored
+    assert not isinstance(q["final_layer"]["linear"]["w"], dict)
+    assert not isinstance(q["triple_blocks"]["audio_cross_q"]["w"], dict)
+    # dequantized matmul close to the fp32 matmul (per-channel int8: <1% rel error)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, i)).astype(np.float32))
+    w = params["triple_blocks"]["audio_self_attn_qkv"]["w"][0]
+    ref = dense(x, w)
+    got = dense(x, {"int8": flat_q["int8"][0], "scale": flat_q["scale"][0]})
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.01, rel
+
+
+def test_int8_end_to_end_generation():
+    from foley_tpu.io.quantize import quantize_int8
+    from foley_tpu.models import dac_vae
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    params, _, _ = quantize_int8(mmdit.init(jax.random.PRNGKey(0), CFG))
+    bundle = ModelBundle(
+        mmdit_params=params,
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    text = jnp.zeros((1, 16, CFG.condition_dim), jnp.float32)
+    res = generate_audio(bundle, text, text, 1.0, num_inference_steps=2, batch_size=1, seed=0)
+    assert res.audio_batch.shape == (1, 1, 48000)
+    assert np.isfinite(res.audio_batch).all()

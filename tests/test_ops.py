@@ -257,3 +257,42 @@ def test_sdpa_mask():
     ).transpose(1, 2)
     got = sdpa(t2j(q), t2j(k), t2j(v), mask=jnp.asarray(mask.numpy()))
     assert_close(got, t2j(expected), atol=1e-5)
+
+
+def test_conv_transpose1d_polyphase_matches_torch_all_geometries():
+    """Polyphase fast path (and the dilated fallback) vs torch ConvTranspose1d across every
+    DAC upsample geometry (k=2s, p=ceil(s/2), op=s%2) plus odd k/p combinations."""
+    import torch
+
+    from foley_tpu.ops.nn import conv_transpose1d
+
+    rng = np.random.default_rng(0)
+    cases = [(8, 16, 4, 1), (5, 10, 3, 1), (4, 8, 2, 0), (3, 6, 2, 1), (2, 4, 1, 0),
+             (8, 16, 4, 0), (3, 7, 2, 1), (5, 9, 1, 0), (2, 5, 2, 1), (1, 3, 1, 0)]
+    for s, k, p, op in cases:
+        t_in, cin, cout, b = 13, 5, 7, 2
+        x = rng.normal(size=(b, t_in, cin)).astype(np.float32)
+        w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+        bias = rng.normal(size=(cout,)).astype(np.float32)
+        conv = torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=p, output_padding=op)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(np.transpose(w, (1, 2, 0))))
+            conv.bias.copy_(torch.from_numpy(bias))
+            ref = conv(torch.from_numpy(np.transpose(x, (0, 2, 1)))).numpy().transpose(0, 2, 1)
+        got = np.asarray(conv_transpose1d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+            stride=s, padding=p, output_padding=op,
+        ))
+        assert got.shape == ref.shape, (s, k, p, op)
+        np.testing.assert_allclose(got, ref, atol=3e-6, err_msg=f"s={s} k={k} p={p} op={op}")
+
+
+def test_resolve_attn_impl_auto():
+    """auto -> xla at short lengths / on CPU; explicit impls pass through unchanged."""
+    from foley_tpu.ops.attention import PALLAS_FUSED_MIN_TOKENS, resolve_attn_impl
+
+    assert resolve_attn_impl("xla", 5000) == "xla"
+    assert resolve_attn_impl("pallas_fused", 10) == "pallas_fused"
+    # CPU backend (tests): auto always resolves to xla regardless of length
+    assert resolve_attn_impl("auto", 250) == "xla"
+    assert resolve_attn_impl("auto", PALLAS_FUSED_MIN_TOKENS + 1) == "xla"
