@@ -331,11 +331,29 @@ class HunyuanFoleySampler:
             foley_model["_device_committed"] = True
 
         offload_fetch = False
+        block_swapped = False
         if block_swap_args and block_swap_args.get("blocks_to_swap", 0) > 0:
-            from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
+            from foley_tpu.parallel.offload import is_split_stack, offload_block_suffix
 
-            params = offload_block_suffix(params, block_swap_args["blocks_to_swap"])
-            offload_fetch = host_memory_available()
+            # Per-block suffix split: placement is carried by the split stack structure
+            # (resident prefix in HBM, per-block pinned-host trees fetched unrolled), so
+            # offload_fetch stays False — the resident blocks must not pay the fetch path.
+            # The split version REPLACES the stored params: keeping the unsplit copy alive
+            # would double HBM and defeat the swap (idempotent re-split merges first).
+            params = offload_block_suffix(params, int(block_swap_args["blocks_to_swap"]))
+            foley_model["params"] = params
+            block_swapped = is_split_stack(params.get("single_blocks")) or is_split_stack(
+                params.get("triple_blocks")
+            )
+        elif block_swap_args is not None:
+            # blocks_to_swap == 0 with the node attached: bring any split stacks back to HBM
+            from foley_tpu.parallel.offload import is_split_stack, merge_block_suffix
+
+            if is_split_stack(params.get("single_blocks")) or is_split_stack(
+                params.get("triple_blocks")
+            ):
+                params = merge_block_suffix(params)
+                foley_model["params"] = params
 
         # --- phase 1: features ---
         from foley_tpu.utils.profiling import phase
@@ -371,8 +389,9 @@ class HunyuanFoleySampler:
         sr = result.sample_rate
 
         # force_offload: park the denoiser params in host memory until the next call
-        # (the reference moves models back to CPU after the run, nodes.py:407-415)
-        if force_offload and not offload_fetch and host_memory_available():
+        # (the reference moves models back to CPU after the run, nodes.py:407-415).
+        # Skipped when block swap already holds the big stacks in host memory.
+        if force_offload and not block_swapped and host_memory_available():
             from foley_tpu.parallel.offload import offload_params
 
             foley_model["params"] = offload_params(params)

@@ -492,6 +492,34 @@ def single_block_apply(
     return x
 
 
+def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool):
+    """Scan a block stack; a placement-split stack (``parallel/offload.py::
+    offload_block_suffix``) runs one scan over the HBM-resident prefix, then applies each
+    pinned-host block unrolled with an explicit fetch — per-block copy pairs XLA schedules
+    ahead of use (the reference's per-block prefetch streaming, ``hifi_foley.py:574-612``).
+    Host-resident scan *operands* are avoided: they crash the axon runtime's compiler."""
+    from foley_tpu.parallel.offload import is_split_stack
+
+    def scan(part, carry, fetch):
+        body = make_body(fetch)
+        if remat:
+            body = jax.checkpoint(body)
+        carry, _ = jax.lax.scan(body, carry, part)
+        return carry
+
+    if is_split_stack(stack):
+        resident = stack["resident"]
+        if jax.tree.leaves(resident)[0].shape[0]:
+            carry = scan(resident, carry, False)
+        body = make_body(True)
+        if remat:
+            body = jax.checkpoint(body)
+        for block in stack["offloaded"]:
+            carry, _ = body(carry, block)
+        return carry
+    return scan(stack, carry, offload_fetch)
+
+
 def apply_final_layer(params: Dict, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """FinalLayer1D (reference ``mlp_layers.py:78-101``)."""
     mod = apply_dense(params["adaLN"], jax.nn.silu(c))
@@ -598,22 +626,25 @@ def apply(
     if cfg.add_sync_feat_to_audio:
         audio = audio + sync_add  # injected before block 0 (reference :838-839)
 
-    def triple_body(carry, block_params):
-        if offload_fetch:
-            # Stream this block's params from pinned host memory into HBM (the block-swap
-            # analog, parallel/offload.py). NOT unconditional: device_put(Space.Device) on
-            # already-resident params forces a ~230 MB copy per block on this runtime
-            # (measured 35.7 -> 429 ms/step).
-            block_params = jax.device_put(block_params, jax.memory.Space.Device)
-        a, vc = carry
-        a, vc = triple_block_apply(
-            block_params, a, cond, vc, vec, ropes, cfg,
-            attn_mask=attn_mask, sync_vec=sync_vec, attn_impl=attn_impl,
-        )
-        return (a, vc), None
+    def triple_body(fetch):
+        def body(carry, block_params):
+            if fetch:
+                # Stream this block's params from pinned host memory into HBM (the block-swap
+                # analog, parallel/offload.py). NOT unconditional: device_put(Space.Device) on
+                # already-resident params forces a ~230 MB copy per block on this runtime
+                # (measured 35.7 -> 429 ms/step).
+                block_params = jax.device_put(block_params, jax.memory.Space.Device)
+            a, vc = carry
+            a, vc = triple_block_apply(
+                block_params, a, cond, vc, vec, ropes, cfg,
+                attn_mask=attn_mask, sync_vec=sync_vec, attn_impl=attn_impl,
+            )
+            return (a, vc), None
+        return body
 
-    body_t = jax.checkpoint(triple_body) if remat else triple_body
-    (audio, v_cond), _ = jax.lax.scan(body_t, (audio, v_cond), params["triple_blocks"])
+    audio, v_cond = _run_stack(
+        params["triple_blocks"], (audio, v_cond), triple_body, remat, offload_fetch
+    )
 
     # ---- per-token modulation vector for single blocks (reference :860-867) ----
     if cfg.sync_modulation:
@@ -623,14 +654,16 @@ def apply(
     else:
         vec_tok = jnp.broadcast_to(vec[:, None, :], (bs, audio_len, vec.shape[-1]))
 
-    def single_body(carry, block_params):
-        if offload_fetch:
-            block_params = jax.device_put(block_params, jax.memory.Space.Device)
-        h = single_block_apply(block_params, carry, vec_tok, ropes, cfg, attn_impl=attn_impl)
-        return h, None
+    def single_body(fetch):
+        def body(carry, block_params):
+            if fetch:
+                block_params = jax.device_put(block_params, jax.memory.Space.Device)
+            h = single_block_apply(block_params, carry, vec_tok, ropes, cfg,
+                                   attn_impl=attn_impl)
+            return h, None
+        return body
 
-    body_s = jax.checkpoint(single_body) if remat else single_body
-    audio, _ = jax.lax.scan(body_s, audio, params["single_blocks"])
+    audio = _run_stack(params["single_blocks"], audio, single_body, remat, offload_fetch)
 
     # ---- final layer (reference :916-923); vec is sync_vec if sync_modulation ----
     final_vec = sync_vec if sync_vec is not None else vec_tok

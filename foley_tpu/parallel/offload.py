@@ -59,32 +59,80 @@ def restore_params(params: Dict) -> Dict:
     return _put(params, "device")
 
 
-def offload_block_suffix(params: Dict, blocks_to_swap: int) -> Dict:
-    """Park the last ``blocks_to_swap`` of the combined (triple+single) block stacks in host
-    memory, mirroring the reference's partition policy (swap the *last* N of all 54 blocks,
-    ``hifi_foley.py:574-604``). The stacked leaves are split so the device slice stays in HBM.
+def is_split_stack(stack) -> bool:
+    """True for a placement-split block stack produced by ``offload_block_suffix``."""
+    return isinstance(stack, dict) and "resident" in stack and "offloaded" in stack
 
-    Note: inside jit, scans over host-resident params trigger XLA-managed streaming; this is
-    the memory/latency trade the reference exposes as the BlockSwap node.
+
+def _stack_depth(stack: Dict) -> int:
+    return jax.tree.leaves(stack)[0].shape[0]
+
+
+def _slice_stack(stack: Dict, start: int, stop: int) -> Dict:
+    return jax.tree.map(lambda l: l[start:stop], stack)
+
+
+def merge_block_suffix(params: Dict) -> Dict:
+    """Undo ``offload_block_suffix``: restack the per-block host trees onto the device-resident
+    prefix (so a different blocks_to_swap can be applied on the next call)."""
+    out = dict(params)
+    for key in ("triple_blocks", "single_blocks"):
+        stack = params.get(key)
+        if not is_split_stack(stack):
+            continue
+        tail = jax.tree.map(
+            lambda *ls: jnp.stack(ls, axis=0), *[_put(b, "device") for b in stack["offloaded"]]
+        )
+        if _stack_depth(stack["resident"]):
+            out[key] = jax.tree.map(
+                lambda r, t: jnp.concatenate([r, t], axis=0), stack["resident"], tail
+            )
+        else:
+            out[key] = tail
+    return out
+
+
+def offload_block_suffix(params: Dict, blocks_to_swap: int, segment_size: int = 8) -> Dict:
+    """Park the last ``blocks_to_swap`` of the combined (triple+single) block stacks in host
+    memory with per-block granularity, mirroring the reference's partition policy (swap the
+    *last* N of all 54 blocks, ``hifi_foley.py:574-604``).
+
+    A swapped stack becomes ``{"resident": stacked[:keep] (HBM), "offloaded": [block, ...]}``
+    where each list entry is ONE block's params as separate pinned-host buffers; the MMDiT
+    forward scans the resident stack normally and applies each offloaded block unrolled with
+    an explicit HBM fetch (``models/mmdit.py::_run_stack``) — per-block copy-start/copy-done
+    pairs XLA can schedule ahead of use (the reference's prefetch-stream design,
+    ``hifi_foley.py:574-612``). Scanning over host-resident stacked operands — whole-stack or
+    segmented — crashes the axon runtime's compiler (measured; ROADMAP.md), so the offloaded
+    tail is unrolled instead.
     """
+    del segment_size  # kept for API compat; the offloaded tail is per-block (unrolled)
     if blocks_to_swap <= 0 or not host_memory_available():
         return params
-    def _depth(p):  # int8-quantized weights store {"int8": q, "scale": s} in place of 'w'
-        leaf = p["w"]
-        return (leaf["int8"] if isinstance(leaf, dict) else leaf).shape[0]
+    params = merge_block_suffix(params)  # idempotent re-application with a new N
 
-    n_triple = _depth(params["triple_blocks"]["audio_mod"])
-    n_single = _depth(params["single_blocks"]["modulation"])
+    n_triple = _stack_depth(params["triple_blocks"])
+    n_single = _stack_depth(params["single_blocks"])
     total = n_triple + n_single
     blocks_to_swap = min(blocks_to_swap, total)
+    # reference block order is [triple(18); single(36)]: the swap suffix eats the single
+    # stack from the back first, then the triple stack
+    swap_single = min(blocks_to_swap, n_single)
+    swap_triple = min(blocks_to_swap - swap_single, n_triple)
 
-    # Scanned stacks are single leaves, so placement is per-stack: swap the single-block stack
-    # first (it holds the back of the reference's block order), then the triple stack. Coarser
-    # than the reference's per-block control but achieves the same HBM floor, and XLA streams
-    # per-iteration scan slices from host memory automatically.
+    def split(stack, keep, n):
+        blocks = [
+            _put(jax.tree.map(lambda l: l[i], stack), "pinned_host") for i in range(keep, n)
+        ]
+        return {"resident": _slice_stack(stack, 0, keep), "offloaded": blocks}
+
     out = dict(params)
-    out["single_blocks"] = _put(params["single_blocks"], "pinned_host")
-    if blocks_to_swap > n_single:
-        out["triple_blocks"] = _put(params["triple_blocks"], "pinned_host")
-    logger.info(f"host-offloaded block stacks (blocks_to_swap={blocks_to_swap}/{total})")
+    if swap_single:
+        out["single_blocks"] = split(params["single_blocks"], n_single - swap_single, n_single)
+    if swap_triple:
+        out["triple_blocks"] = split(params["triple_blocks"], n_triple - swap_triple, n_triple)
+    logger.info(
+        f"host-offloaded block suffix: {swap_triple}/{n_triple} triple + "
+        f"{swap_single}/{n_single} single blocks (per-block, unrolled fetch)"
+    )
     return out

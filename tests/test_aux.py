@@ -167,3 +167,94 @@ def test_reference_yamls_parse_to_presets():
     """The reference repo's own YAML configs parse to our presets exactly."""
     assert config_from_yaml("/root/reference/configs/hunyuanvideo-foley-xxl.yaml").model == XXL.model
     assert config_from_yaml("/root/reference/configs/hunyuanvideo-foley-xl.yaml").model == XL.model
+
+
+def test_block_suffix_offload_exact_and_per_block():
+    """Per-block suffix split: output must equal the unsplit forward bit-for-bit structure
+    (same sums, placement only), granularity must be per-block, and re-application with a
+    different N must merge first (idempotent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import mmdit
+    from foley_tpu.parallel.offload import (
+        host_memory_available,
+        is_split_stack,
+        merge_block_suffix,
+        offload_block_suffix,
+    )
+
+    if not host_memory_available():
+        import pytest
+
+        pytest.skip("no pinned_host memory kind on this backend")
+
+    cfg = TINY.model  # 2 triple + 4 single blocks
+    params = mmdit.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.normal(size=(1, 20, cfg.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([500.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 8, cfg.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 4, cfg.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 8, cfg.sync_feat_dim)).astype(np.float32)),
+    )
+    ref = np.asarray(mmdit.apply(params, *args, cfg))
+
+    # swap 3 of 6 blocks (suffix: all 3 from the single stack)
+    split = offload_block_suffix(params, 3)
+    assert is_split_stack(split["single_blocks"])
+    assert not is_split_stack(split["triple_blocks"])
+    res = split["single_blocks"]["resident"]
+    assert jax.tree.leaves(res)[0].shape[0] == 1  # per-block granularity: keep 1 of 4
+    assert len(split["single_blocks"]["offloaded"]) == 3  # one host tree per swapped block
+    got = np.asarray(mmdit.apply(split, *args, cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # swap more than the single stack: triple tail splits too
+    split_all = offload_block_suffix(split, 5)  # re-apply on split input (merges first)
+    assert is_split_stack(split_all["triple_blocks"])
+    got_all = np.asarray(mmdit.apply(split_all, *args, cfg))
+    np.testing.assert_allclose(got_all, ref, atol=1e-5, rtol=1e-5)
+
+    # merge restores the plain stacked layout and the same numbers
+    merged = merge_block_suffix(split_all)
+    assert not is_split_stack(merged["single_blocks"])
+    assert jax.tree.leaves(merged["single_blocks"])[0].shape[0] == 4
+    got_m = np.asarray(mmdit.apply(merged, *args, cfg))
+    np.testing.assert_allclose(got_m, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_sampler_block_swap_end_to_end():
+    """Sampler node with block_swap_args produces finite audio; the split placement PERSISTS
+    on the model (keeping an unsplit copy alive would double HBM and defeat the swap) and
+    blocks_to_swap=0 merges the stacks back."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.api.nodes import HunyuanBlockSwap, HunyuanFoleySampler, HunyuanModelLoader
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae
+    from foley_tpu.parallel.offload import is_split_stack
+
+    foley_model = HunyuanModelLoader.init_random("tiny", "fp32", 0)
+    deps = {"dac_params": dac_vae.init(jax.random.PRNGKey(1), TINY.dac), "dac_cfg": TINY.dac}
+    (bs_args,) = HunyuanBlockSwap().set_args(blocks_to_swap=3)
+    kw = dict(duration=1.0, prompt="x", steps=2, batch_size=1, seed=0,
+              allow_unconditioned=True, force_offload=False)
+    first, _ = HunyuanFoleySampler().generate_audio(
+        foley_model, deps, block_swap_args=bs_args, **kw
+    )
+    wf = np.asarray(first["waveform"])
+    assert wf.shape == (1, 1, 48000) and np.isfinite(wf).all()
+    assert is_split_stack(foley_model["params"].get("single_blocks"))
+
+    # blocks_to_swap=0 with the node attached merges the stacks back into HBM
+    (zero_args,) = HunyuanBlockSwap().set_args(blocks_to_swap=0)
+    first2, _ = HunyuanFoleySampler().generate_audio(
+        foley_model, deps, block_swap_args=zero_args, **kw
+    )
+    assert not is_split_stack(foley_model["params"].get("single_blocks"))
+    np.testing.assert_allclose(np.asarray(first2["waveform"]), wf, atol=1e-5)
