@@ -155,6 +155,7 @@ def generate_audio_multi(
     sampler: str = "euler",
     attn_impl: str = "auto",
     text_bucket: Optional[int] = None,
+    return_latents: bool = False,
 ) -> GenerationResult:
     """Batched generation with *distinct per-row prompts and seeds* (serving micro-batching).
 
@@ -206,6 +207,7 @@ def generate_audio_multi(
     audio_np = np.asarray(audio)[:, :n_samples, 0][:, None, :]
     return GenerationResult(
         audio_first=audio_np[:1], audio_batch=audio_np, sample_rate=cfg.dac.sample_rate,
+        latents=np.asarray(final_latents) if return_latents else None,
     )
 
 
