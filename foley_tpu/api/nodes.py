@@ -51,7 +51,7 @@ class HunyuanModelLoader:
             "required": {
                 "model_name": ("STRING", {"default": "hunyuanvideo_foley.safetensors"}),
                 "precision": (["auto", "bf16", "fp16", "fp32"], {"default": "auto"}),
-                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8"], {"default": "none"}),
+                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"], {"default": "none"}),
             },
             "optional": {"config": (["xxl", "xl", "tiny"], {"default": "xxl"})},
         }
@@ -86,10 +86,13 @@ class HunyuanModelLoader:
             qmode = quantization
             if qmode == "auto":
                 qmode = ckpt_fp8 or "fp8_e4m3fn"
-            if qmode == "int8":
+            if qmode.startswith("int8"):
                 from foley_tpu.io.quantize import quantize_int8
 
-                params, counts, saved = quantize_int8(params)
+                # int8_dynamic additionally runs dense matmuls on the native int8 MXU
+                # (per-token activation quant) — an opt-in throughput mode beyond the
+                # reference's storage-only quantization.
+                params, counts, saved = quantize_int8(params, dynamic=qmode == "int8_dynamic")
             else:
                 params, counts, saved = quantize_fp8(params, qmode)
             logger.info(
@@ -118,10 +121,10 @@ class HunyuanModelLoader:
         params = cast_params(params, dtype, predicate=lambda p, l: l.dtype not in FP8_DTYPES)
         if quantization != "none":
             qmode = "fp8_e4m3fn" if quantization == "auto" else quantization
-            if qmode == "int8":
+            if qmode.startswith("int8"):
                 from foley_tpu.io.quantize import quantize_int8
 
-                params, counts, saved = quantize_int8(params)
+                params, counts, saved = quantize_int8(params, dynamic=qmode == "int8_dynamic")
             else:
                 params, counts, saved = quantize_fp8(params, qmode)
             logger.info(f"{qmode} wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
@@ -230,8 +233,12 @@ class HunyuanBlockSwap:
     """Host-offload knobs (reference ``nodes.py:609-631``).
 
     blocks_to_swap maps to the pinned-host placement of the scanned block stacks
-    (``foley_tpu/parallel/offload.py``); prefetch is handled by XLA's scan pipelining, so the
-    reference's prefetch_blocks/non_blocking knobs are accepted and logged for compatibility.
+    (``foley_tpu/parallel/offload.py``); prefetch_blocks maps to the HBM fetch window of the
+    unrolled offloaded tail (``models/mmdit.py::_run_stack``: the copy of block i+window is
+    gated on block i's output, so HBM holds at most window offloaded blocks — window =
+    prefetch_blocks + 1, i.e. prefetch_blocks extra copies in flight, matching the
+    reference's prefetch-stream depth ``hifi_foley.py:574-612``). use_non_blocking is
+    accepted and logged for compatibility (all XLA copies are async until a use).
     """
 
     @classmethod
@@ -375,6 +382,7 @@ class HunyuanFoleySampler:
             encoders=dependencies,
             compute_dtype=foley_model.get("dtype", jnp.bfloat16),
             offload_fetch=offload_fetch,
+            offload_prefetch=1 + int((block_swap_args or {}).get("prefetch_blocks", 0)),
         )
 
         # AOT warmup over the declared shape buckets (the torch.compile node's runtime role,

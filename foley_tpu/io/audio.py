@@ -38,6 +38,63 @@ class MediaProcessingError(RuntimeError):
     pass
 
 
+def read_wav(path: str, target_sr: Optional[int] = None) -> "tuple[np.ndarray, int]":
+    """Read a WAV file to a mono fp32 [T] waveform in [-1, 1] plus its sample rate.
+
+    Stdlib-only decode (PCM 16/24/32-bit and IEEE float32 — the formats the reference's
+    torchaudio ingest path sees in practice); multi-channel is averaged to mono. When
+    ``target_sr`` differs from the file rate, resamples via the native C++ path
+    (``io/native.py::resample_linear``, numpy fallback inside)."""
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise MediaProcessingError(f"not a RIFF/WAVE file: {path}")
+        fmt = None
+        data = None
+        while True:
+            chunk = f.read(8)
+            if len(chunk) < 8:
+                break
+            cid, size = chunk[:4], int.from_bytes(chunk[4:8], "little")
+            payload = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                data = payload
+    if fmt is None or data is None:
+        raise MediaProcessingError(f"missing fmt/data chunk: {path}")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE: sub-format GUID
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 24:
+        raw = np.frombuffer(data, np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+        x = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float32) / 8388608.0
+    else:
+        raise MediaProcessingError(f"unsupported WAV format {audio_format}/{bits}bit: {path}")
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+    if target_sr and target_sr != sr:
+        from foley_tpu.io.native import resample_linear
+
+        x = resample_linear(x, sr, target_sr)
+        sr = target_sr
+    return np.ascontiguousarray(x, np.float32), sr
+
+
 def merge_audio_video(
     video_path: str,
     audio_path: str,

@@ -35,6 +35,9 @@ FP8_DENY_SUBSTRINGS = (
 def quantize_int8(
     params: Dict,
     deny_substrings: Tuple[str, ...] = FP8_DENY_SUBSTRINGS,
+    dynamic: bool = False,
+    on_host: bool = False,
+    consume: bool = False,
 ) -> Tuple[Dict, Dict[str, int], int]:
     """int8 weight-only quantization with per-output-channel scales.
 
@@ -43,10 +46,28 @@ def quantize_int8(
     ``{"int8": int8 weights, "scale": fp32 broadcastable per-channel scale}``; every op in
     ``foley_tpu/ops/nn.py`` dequantizes at use (`_match`) and XLA fuses the scale multiply
     into the matmul operand read. Same deny-list as fp8. Halves weight HBM traffic vs bf16.
+
+    ``dynamic=True`` stores the weight under the ``"int8_dyn"`` key instead (treedef-static
+    marker) so dense matmuls run the int8xint8 MXU path: activations are quantized per-token at use and the
+    contraction accumulates in int32 on the native int8 systolic array (2x bf16 peak on
+    v5e), with the (token-scale x channel-scale) dequant fused into the epilogue
+    (``ops/nn.py::dense``). Numerics deviate from the reference's bf16 compute — strictly an
+    opt-in throughput mode; convs fall back to weight-only dequant.
+
+    ``on_host=True`` runs the quantization math in numpy (device quantization materializes
+    fp32 temporaries of the biggest stacked leaves — several GiB of transient HBM, OOM when
+    the full XXL is resident). ``consume=True`` drops each source leaf as it is quantized so
+    device peak never holds both the bf16 model and its int8 copy (destructive: the input
+    tree is cleared).
     """
+    import numpy as np
+
     flat = flatten_params(params)
+    if consume:
+        params.clear()  # flat now holds the only refs; leaves free as we null them out
     out, counts, saved = {}, {"quantized": 0, "skipped": 0}, 0
-    for path, leaf in flat.items():
+    for path in list(flat):
+        leaf = flat[path]
         is_weight = path.endswith(".w") or path.endswith(".weight")
         denied = any(s in path for s in deny_substrings) or not is_weight
         if denied or not jnp.issubdtype(leaf.dtype, jnp.floating):
@@ -55,12 +76,25 @@ def quantize_int8(
             continue
         # scale per output channel (last axis), kept per-depth/per-tap for stacked leaves
         axes = tuple(range(1 if leaf.ndim >= 3 else 0, leaf.ndim - 1))
-        w32 = leaf.astype(jnp.float32)
-        scale = jnp.max(jnp.abs(w32), axis=axes, keepdims=True) / 127.0
-        scale = jnp.maximum(scale, 1e-12)
-        q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+        if on_host:
+            w32 = np.asarray(leaf, dtype=np.float32)
+            if consume:
+                flat[path] = None
+            scale_h = np.maximum(np.max(np.abs(w32), axis=axes, keepdims=True) / 127.0, 1e-12)
+            q_h = np.clip(np.round(w32 / scale_h), -127, 127).astype(np.int8)
+            q = jnp.asarray(q_h)
+            scale = jnp.asarray(scale_h.astype(np.float32))
+        else:
+            w32 = leaf.astype(jnp.float32)
+            scale = jnp.max(jnp.abs(w32), axis=axes, keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-12)
+            q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+            if consume:
+                flat[path] = None
         saved += int(leaf.size) * (leaf.dtype.itemsize - 1) - int(scale.size) * 4
-        out[path + ".int8"] = q
+        # the key encodes the mode (treedef-static, no scalar leaf to break stacked scans):
+        # "int8" = weight-only dequant-at-use; "int8_dyn" = int8xint8 MXU activation path
+        out[path + (".int8_dyn" if dynamic else ".int8")] = q
         out[path + ".scale"] = scale
         counts["quantized"] += 1
     return unflatten_params(out), counts, saved

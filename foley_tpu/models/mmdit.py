@@ -492,12 +492,21 @@ def single_block_apply(
     return x
 
 
-def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool):
+def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
+               prefetch_depth: int = 1):
     """Scan a block stack; a placement-split stack (``parallel/offload.py::
     offload_block_suffix``) runs one scan over the HBM-resident prefix, then applies each
-    pinned-host block unrolled with an explicit fetch — per-block copy pairs XLA schedules
-    ahead of use (the reference's per-block prefetch streaming, ``hifi_foley.py:574-612``).
-    Host-resident scan *operands* are avoided: they crash the axon runtime's compiler."""
+    pinned-host block unrolled with an explicit fetch — the reference's per-block prefetch
+    streaming (``hifi_foley.py:574-612``). Host-resident scan *operands* are avoided: they
+    crash the axon runtime's compiler.
+
+    ``prefetch_depth`` bounds the HBM fetch window: the copy of block ``i + depth`` is gated
+    on block ``i``'s output via ``lax.optimization_barrier``, so at most ``depth`` offloaded
+    blocks are device-resident at once. Without the gate XLA hoists every copy-start to the
+    program head — all offloaded blocks live simultaneously, which RESOURCE_EXHAUSTs at
+    54-block XXL swap (~8.5 GiB). depth=1 is strictly serial fetch→compute; depth=2 double
+    buffers (fetch of the next block overlaps compute of the current one), the analog of the
+    reference's prefetch stream (``hifi_foley.py:545-612``)."""
     from foley_tpu.parallel.offload import is_split_stack
 
     def scan(part, carry, fetch):
@@ -511,11 +520,25 @@ def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool):
         resident = stack["resident"]
         if jax.tree.leaves(resident)[0].shape[0]:
             carry = scan(resident, carry, False)
-        body = make_body(True)
+        # The body does NOT fetch internally: the fetch is issued here, gated to bound the
+        # number of in-flight host->HBM copies.
+        body = make_body(False)
         if remat:
             body = jax.checkpoint(body)
-        for block in stack["offloaded"]:
-            carry, _ = body(carry, block)
+        blocks = stack["offloaded"]
+        depth = max(1, min(int(prefetch_depth), len(blocks)))
+        fetch = lambda b: jax.tree.map(
+            lambda x: jax.device_put(x, jax.memory.Space.Device), b
+        )
+        window = [fetch(b) for b in blocks[:depth]]  # ungated: may overlap the resident scan
+        for i in range(len(blocks)):
+            carry, _ = body(carry, window.pop(0))
+            nxt = i + depth
+            if nxt < len(blocks):
+                # Order the next copy-start after block i's compute so the scheduler cannot
+                # hoist it (and every later one) to the program head.
+                carry, gated = jax.lax.optimization_barrier((carry, blocks[nxt]))
+                window.append(fetch(gated))
         return carry
     return scan(stack, carry, offload_fetch)
 
@@ -557,6 +580,7 @@ def apply(
     attn_impl: str = "xla",
     remat: bool = False,
     offload_fetch: bool = False,
+    offload_prefetch: int = 1,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -643,7 +667,8 @@ def apply(
         return body
 
     audio, v_cond = _run_stack(
-        params["triple_blocks"], (audio, v_cond), triple_body, remat, offload_fetch
+        params["triple_blocks"], (audio, v_cond), triple_body, remat, offload_fetch,
+        prefetch_depth=offload_prefetch,
     )
 
     # ---- per-token modulation vector for single blocks (reference :860-867) ----
@@ -663,7 +688,8 @@ def apply(
             return h, None
         return body
 
-    audio = _run_stack(params["single_blocks"], audio, single_body, remat, offload_fetch)
+    audio = _run_stack(params["single_blocks"], audio, single_body, remat, offload_fetch,
+                       prefetch_depth=offload_prefetch)
 
     # ---- final layer (reference :916-923); vec is sync_vec if sync_modulation ----
     final_vec = sync_vec if sync_vec is not None else vec_tok

@@ -32,8 +32,9 @@ def _match(w, x: jnp.ndarray) -> jnp.ndarray:
     (``foley_tpu/io/quantize.py::quantize_int8``); the per-channel dequant multiply here is
     fused by XLA into the consuming matmul's operand read.
     """
-    if isinstance(w, dict) and "int8" in w:
-        return w["int8"].astype(x.dtype) * w["scale"].astype(x.dtype)
+    if isinstance(w, dict) and ("int8" in w or "int8_dyn" in w):
+        q = w.get("int8", w.get("int8_dyn"))
+        return q.astype(x.dtype) * w["scale"].astype(x.dtype)
     return w if w.dtype == x.dtype else w.astype(x.dtype)
 
 
@@ -44,8 +45,27 @@ def _precision(x: jnp.ndarray):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
 
+def _quantize_act(x: jnp.ndarray):
+    """Per-token symmetric int8 quantization: returns (q int8 [..., in], scale fp32 [..., 1])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x [..., in] @ w [in, out] (+ b [out])."""
+    """x [..., in] @ w [in, out] (+ b [out]).
+
+    A weight stored as ``{"int8_dyn", "scale"}`` (``quantize_int8(dynamic=True)``) takes the
+    int8xint8 MXU path: per-token activation quantization, int32 accumulation on the native
+    int8 systolic array, and a fused (token-scale x channel-scale) dequant epilogue."""
+    if isinstance(w, dict) and "int8_dyn" in w:
+        xq, sx = _quantize_act(x)
+        acc = jnp.einsum("...i,io->...o", xq, w["int8_dyn"], preferred_element_type=jnp.int32)
+        out = (acc.astype(jnp.float32) * sx * w["scale"].astype(jnp.float32)).astype(x.dtype)
+        if b is not None:
+            out = out + _match(b, x)
+        return out
     out = jnp.einsum(
         "...i,io->...o", x, _match(w, x),
         preferred_element_type=x.dtype, precision=_precision(x),

@@ -23,6 +23,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from foley_tpu.utils.logging import get_logger
 
@@ -72,23 +73,65 @@ def _slice_stack(stack: Dict, start: int, stop: int) -> Dict:
     return jax.tree.map(lambda l: l[start:stop], stack)
 
 
+def _retarget_stack(stack, target_keep: int):
+    """Re-split one block stack to ``target_keep`` device-resident blocks, INCREMENTALLY.
+
+    HBM-bounded by construction (a naive merge-then-resplit transiently holds the old split
+    AND a full restacked copy — ~15 GiB for XXL, the measured RESOURCE_EXHAUSTED at
+    blocks_to_swap=54):
+    - growing the swap moves only the leaving blocks device->host and re-slices the resident
+      prefix (transient: old resident + kept copy);
+    - shrinking the swap restacks THROUGH HOST numpy (pull resident + returning host blocks,
+      one ``np.concatenate``, one device_put) — device peak is just old resident + new
+      resident, never two full models.
+    """
+    if is_split_stack(stack):
+        resident, offloaded = stack["resident"], stack["offloaded"]
+        cur_keep = _stack_depth(resident) if jax.tree.leaves(resident) else 0
+    else:
+        resident, offloaded = stack, []
+        cur_keep = _stack_depth(stack)
+    n = cur_keep + len(offloaded)
+    target_keep = max(0, min(target_keep, n))
+
+    if target_keep == cur_keep:
+        pass
+    elif target_keep < cur_keep:  # grow swap: peel blocks off the resident suffix to host
+        moved = [
+            _put(jax.tree.map(lambda l: l[i], resident), "pinned_host")
+            for i in range(target_keep, cur_keep)
+        ]
+        resident = _slice_stack(resident, 0, target_keep)
+        offloaded = moved + offloaded
+    else:  # shrink swap: restack returning blocks through host (device peak = old + new resident)
+        back = offloaded[: target_keep - cur_keep]
+        offloaded = offloaded[target_keep - cur_keep:]
+        host_back = [jax.tree.map(np.asarray, b) for b in back]
+        tail = jax.tree.map(lambda *ls: np.stack(ls, axis=0), *host_back)
+        if cur_keep:
+            host_res = jax.tree.map(np.asarray, resident)
+            merged = jax.tree.map(lambda r, t: np.concatenate([r, t], axis=0), host_res, tail)
+        else:
+            merged = tail
+        # np.asarray keeps jax dtypes (bfloat16 via ml_dtypes), so one put restores exactly
+        resident = jax.tree.map(
+            lambda h: jax.device_put(jnp.asarray(h), jax.memory.Space.Device), merged
+        )
+
+    if not offloaded:
+        return resident
+    return {"resident": resident, "offloaded": offloaded}
+
+
 def merge_block_suffix(params: Dict) -> Dict:
-    """Undo ``offload_block_suffix``: restack the per-block host trees onto the device-resident
-    prefix (so a different blocks_to_swap can be applied on the next call)."""
+    """Undo ``offload_block_suffix``: bring every offloaded block back to device HBM
+    (restacked through host — see ``_retarget_stack`` for the memory bound)."""
     out = dict(params)
     for key in ("triple_blocks", "single_blocks"):
         stack = params.get(key)
-        if not is_split_stack(stack):
-            continue
-        tail = jax.tree.map(
-            lambda *ls: jnp.stack(ls, axis=0), *[_put(b, "device") for b in stack["offloaded"]]
-        )
-        if _stack_depth(stack["resident"]):
-            out[key] = jax.tree.map(
-                lambda r, t: jnp.concatenate([r, t], axis=0), stack["resident"], tail
-            )
-        else:
-            out[key] = tail
+        if is_split_stack(stack):
+            n = _stack_depth(stack["resident"]) if jax.tree.leaves(stack["resident"]) else 0
+            out[key] = _retarget_stack(stack, n + len(stack["offloaded"]))
     return out
 
 
@@ -100,39 +143,41 @@ def offload_block_suffix(params: Dict, blocks_to_swap: int, segment_size: int = 
     A swapped stack becomes ``{"resident": stacked[:keep] (HBM), "offloaded": [block, ...]}``
     where each list entry is ONE block's params as separate pinned-host buffers; the MMDiT
     forward scans the resident stack normally and applies each offloaded block unrolled with
-    an explicit HBM fetch (``models/mmdit.py::_run_stack``) — per-block copy-start/copy-done
-    pairs XLA can schedule ahead of use (the reference's prefetch-stream design,
-    ``hifi_foley.py:574-612``). Scanning over host-resident stacked operands — whole-stack or
-    segmented — crashes the axon runtime's compiler (measured; ROADMAP.md), so the offloaded
-    tail is unrolled instead.
+    an explicit HBM fetch gated behind the previous block's compute
+    (``models/mmdit.py::_run_stack`` ``prefetch_depth``) — bounding device residency to a
+    small fetch window, the reference's prefetch-stream design (``hifi_foley.py:574-612``).
+    Scanning over host-resident stacked operands — whole-stack or segmented — crashes the
+    axon runtime's compiler (measured; ROADMAP.md), so the offloaded tail is unrolled instead.
+
+    Re-application with a different N is INCREMENTAL (only the delta blocks move between
+    HBM and host), so any transition's device peak stays bounded by the larger residency.
     """
     del segment_size  # kept for API compat; the offloaded tail is per-block (unrolled)
-    if blocks_to_swap <= 0 or not host_memory_available():
+    if not host_memory_available():
         return params
-    params = merge_block_suffix(params)  # idempotent re-application with a new N
+    if blocks_to_swap <= 0:
+        return merge_block_suffix(params)
 
-    n_triple = _stack_depth(params["triple_blocks"])
-    n_single = _stack_depth(params["single_blocks"])
-    total = n_triple + n_single
-    blocks_to_swap = min(blocks_to_swap, total)
+    def depth(stack):
+        if is_split_stack(stack):
+            res = stack["resident"]
+            keep = _stack_depth(res) if jax.tree.leaves(res) else 0
+            return keep + len(stack["offloaded"])
+        return _stack_depth(stack)
+
+    n_triple = depth(params["triple_blocks"])
+    n_single = depth(params["single_blocks"])
+    blocks_to_swap = min(blocks_to_swap, n_triple + n_single)
     # reference block order is [triple(18); single(36)]: the swap suffix eats the single
     # stack from the back first, then the triple stack
     swap_single = min(blocks_to_swap, n_single)
     swap_triple = min(blocks_to_swap - swap_single, n_triple)
 
-    def split(stack, keep, n):
-        blocks = [
-            _put(jax.tree.map(lambda l: l[i], stack), "pinned_host") for i in range(keep, n)
-        ]
-        return {"resident": _slice_stack(stack, 0, keep), "offloaded": blocks}
-
     out = dict(params)
-    if swap_single:
-        out["single_blocks"] = split(params["single_blocks"], n_single - swap_single, n_single)
-    if swap_triple:
-        out["triple_blocks"] = split(params["triple_blocks"], n_triple - swap_triple, n_triple)
+    out["single_blocks"] = _retarget_stack(params["single_blocks"], n_single - swap_single)
+    out["triple_blocks"] = _retarget_stack(params["triple_blocks"], n_triple - swap_triple)
     logger.info(
         f"host-offloaded block suffix: {swap_triple}/{n_triple} triple + "
-        f"{swap_single}/{n_single} single blocks (per-block, unrolled fetch)"
+        f"{swap_single}/{n_single} single blocks (per-block, unrolled gated fetch)"
     )
     return out

@@ -43,6 +43,7 @@ class ModelBundle(NamedTuple):
     encoders: Optional[Dict] = None  # {"clap": ..., "siglip2": ..., "synchformer": ...}
     compute_dtype: jnp.dtype = jnp.bfloat16
     offload_fetch: bool = False  # block stacks live in pinned host memory (block-swap analog)
+    offload_prefetch: int = 1  # HBM fetch window for split stacks (1 = gated serial fetch)
 
 
 @dataclasses.dataclass
@@ -124,6 +125,7 @@ def generate_audio(
         attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype,
         offload_fetch=bundle.offload_fetch,
+        offload_prefetch=bundle.offload_prefetch,
     )
     audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32
     t2 = time.perf_counter()
@@ -201,6 +203,7 @@ def generate_audio_multi(
         cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
         solver=sampler, use_cfg=use_cfg, attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
+        offload_prefetch=bundle.offload_prefetch,
     )
     audio = jax.block_until_ready(_decode_jit(bundle.dac_params, final_latents, cfg.dac))
     n_samples = int(duration_s * cfg.dac.sample_rate)

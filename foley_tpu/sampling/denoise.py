@@ -43,7 +43,7 @@ class DenoiseFeatures(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
-        "begin_index", "offload_fetch",
+        "begin_index", "offload_fetch", "offload_prefetch",
     ),
 )
 def denoise_latents(
@@ -61,6 +61,7 @@ def denoise_latents(
     compute_dtype=jnp.bfloat16,
     begin_index: int = 0,
     offload_fetch: bool = False,
+    offload_prefetch: int = 1,
 ) -> jnp.ndarray:
     """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
 
@@ -95,7 +96,7 @@ def denoise_latents(
         t_expand = jnp.broadcast_to(t, (latent_input.shape[0],))
         v = mmdit.apply(
             params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
-            attn_impl=attn_impl, offload_fetch=offload_fetch,
+            attn_impl=attn_impl, offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
         ).astype(jnp.float32)
         if use_cfg:
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
@@ -115,7 +116,7 @@ def denoise_latents(
     jax.jit,
     static_argnames=(
         "cfg", "diffusion", "dac_cfg", "num_steps", "solver", "use_cfg", "attn_impl",
-        "compute_dtype", "begin_index", "offload_fetch",
+        "compute_dtype", "begin_index", "offload_fetch", "offload_prefetch",
     ),
 )
 def denoise_and_decode(
@@ -135,6 +136,7 @@ def denoise_and_decode(
     compute_dtype=jnp.bfloat16,
     begin_index: int = 0,
     offload_fetch: bool = False,
+    offload_prefetch: int = 1,
 ):
     """Denoise + DAC decode as ONE program: a single host->device dispatch per generation
     (each dispatch costs tens of ms of round-trip latency on tunneled TPU runtimes).
@@ -145,7 +147,7 @@ def denoise_and_decode(
         params, latents, features, guidance_scale,
         cfg=cfg, diffusion=diffusion, num_steps=num_steps, solver=solver, use_cfg=use_cfg,
         attn_impl=attn_impl, compute_dtype=compute_dtype, begin_index=begin_index,
-        offload_fetch=offload_fetch,
+        offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
     )
     audio = dac_vae.decode(dac_params, final_latents, dac_cfg)
     return final_latents, audio

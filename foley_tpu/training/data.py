@@ -1,0 +1,296 @@
+"""Training data pipeline: datasets, feature packing, and a device-prefetching loader.
+
+The reference ships *dormant* training machinery with no data pipeline at all — its only
+data-side artifact is the Synchformer transforms suite (``data_transforms.py``; ported in
+``pipeline/transforms.py``). This module completes the training capability TPU-first:
+
+- ``AudioFolderDataset``: walks a directory of WAV clips (stdlib/native decode via
+  ``io/audio.py::read_wav``), draws fixed-length random crops, and applies the transforms
+  suite. Fixed shapes => one compiled train step, no recompiles.
+- ``encode_corpus`` / ``NpzShardDataset``: offline DAC encoding of a corpus into .npz latent
+  shards (the standard TPU recipe: precompute encoder features once, stream small latents at
+  train time instead of re-running frozen encoders every step).
+- ``flow_match_batches``: assembles the ``{latents, cond, clip_feat, sync_feat}`` batches
+  ``training/train.py::flow_match_loss`` consumes, using the model's learned empty
+  clip/sync sequences for audio-only (T2A-style) training.
+- ``PrefetchLoader``: a background thread stages the next batches on device
+  (``jax.device_put``, optionally with a ``NamedSharding`` over the mesh's 'data' axis) while
+  the current step runs — host IO and H2D copies overlap TPU compute, so the input pipeline
+  never serializes with the train step.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foley_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+_WAV_EXTS = (".wav", ".wave")
+
+
+def list_audio_files(root: str) -> List[str]:
+    """All WAV files under ``root``, sorted for a deterministic epoch order."""
+    out: List[str] = []
+    for dirpath, _, names in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, n) for n in names if n.lower().endswith(_WAV_EXTS)
+        )
+    return sorted(out)
+
+
+class AudioFolderDataset:
+    """Infinite sampler of fixed-length mono crops from a folder of WAV files.
+
+    Yields items ``{"audio": [T] fp32, "path": str}`` (plus whatever the transforms add).
+    Short files are looped to ``clip_seconds``; rates are converted to ``sample_rate``.
+    ``transforms`` is a callable (e.g. ``pipeline.transforms.Compose``) applied per item.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        clip_seconds: float,
+        sample_rate: int = 48000,
+        transforms: Optional[Callable[[dict], dict]] = None,
+        seed: int = 0,
+    ):
+        self.files = list_audio_files(root)
+        if not self.files:
+            raise FileNotFoundError(f"no WAV files under {root}")
+        self.clip_len = int(round(clip_seconds * sample_rate))
+        self.sample_rate = sample_rate
+        self.transforms = transforms
+        self._rng = np.random.default_rng(seed)
+        logger.info(f"AudioFolderDataset: {len(self.files)} files under {root}")
+
+    def _crop(self, x: np.ndarray) -> np.ndarray:
+        if len(x) < self.clip_len:
+            x = np.tile(x, int(np.ceil(self.clip_len / max(len(x), 1))))
+        start = int(self._rng.integers(0, len(x) - self.clip_len + 1))
+        return x[start : start + self.clip_len]
+
+    def __iter__(self) -> Iterator[dict]:
+        from foley_tpu.io.audio import read_wav
+
+        while True:
+            order = self._rng.permutation(len(self.files))
+            for i in order:
+                path = self.files[int(i)]
+                try:
+                    x, _ = read_wav(path, target_sr=self.sample_rate)
+                except Exception as e:  # corrupt file: skip, don't kill the epoch
+                    logger.warning(f"skipping unreadable {path}: {e}")
+                    continue
+                item = {"audio": self._crop(x), "path": path}
+                if self.transforms is not None:
+                    item = self.transforms(item)
+                yield item
+
+
+def batch_items(items: Iterator[dict], batch_size: int, keys: Sequence[str]) -> Iterator[Dict]:
+    """Stack ``batch_size`` consecutive items' ``keys`` into numpy batches."""
+    buf: List[dict] = []
+    for item in items:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield {k: np.stack([b[k] for b in buf]) for k in keys}
+            buf = []
+
+
+# ---------------------------------------------------------------------------------
+# Offline corpus encoding -> npz latent shards
+# ---------------------------------------------------------------------------------
+
+def encode_corpus(
+    dac_params: Dict,
+    dac_cfg,
+    dataset: Iterator[dict],
+    out_dir: str,
+    num_clips: int,
+    batch_size: int = 8,
+    shard_size: int = 256,
+    seed: int = 0,
+) -> List[str]:
+    """DAC-encode ``num_clips`` audio items into .npz latent shards under ``out_dir``.
+
+    Posterior sampling is seeded per-batch (deterministic corpus). Returns shard paths.
+    Each shard holds ``latents`` [N, T_lat, C_lat] fp32 (+ ``paths``).
+    """
+    from foley_tpu.models import dac_vae
+
+    encode = jax.jit(
+        lambda p, a: dac_vae.encode(p, a, dac_cfg).sample(jax.random.PRNGKey(seed)),
+        static_argnums=(),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    shards: List[str] = []
+    lat_buf: List[np.ndarray] = []
+    path_buf: List[str] = []
+    done = 0
+
+    def flush():
+        nonlocal lat_buf, path_buf
+        if not lat_buf:
+            return
+        path = os.path.join(out_dir, f"shard_{len(shards):05d}.npz")
+        np.savez(path, latents=np.concatenate(lat_buf), paths=np.asarray(path_buf))
+        shards.append(path)
+        lat_buf, path_buf = [], []
+
+    it = iter(dataset)
+    while done < num_clips:
+        batch = []
+        for _ in range(min(batch_size, num_clips - done)):
+            batch.append(next(it))
+        audio = jnp.asarray(np.stack([b["audio"] for b in batch]))[..., None]  # [B, T, 1]
+        z = np.asarray(encode(dac_params, audio), np.float32)
+        lat_buf.append(z)
+        path_buf.extend(b.get("path", "") for b in batch)
+        done += len(batch)
+        if sum(x.shape[0] for x in lat_buf) >= shard_size:
+            flush()
+    flush()
+    logger.info(f"encoded {done} clips into {len(shards)} shards under {out_dir}")
+    return shards
+
+
+class NpzShardDataset:
+    """Infinite shuffled sampler over .npz latent shards written by ``encode_corpus``."""
+
+    def __init__(self, shard_dir: str, seed: int = 0):
+        self.shards = sorted(
+            os.path.join(shard_dir, n) for n in os.listdir(shard_dir) if n.endswith(".npz")
+        )
+        if not self.shards:
+            raise FileNotFoundError(f"no .npz shards under {shard_dir}")
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            for si in self._rng.permutation(len(self.shards)):
+                with np.load(self.shards[int(si)]) as z:
+                    lat = z["latents"]
+                for ri in self._rng.permutation(lat.shape[0]):
+                    yield {"latents": lat[int(ri)]}
+
+
+# ---------------------------------------------------------------------------------
+# Flow-matching batch assembly
+# ---------------------------------------------------------------------------------
+
+def flow_match_batches(
+    latent_iter: Iterator[dict],
+    mmdit_params: Dict,
+    pipeline_cfg,
+    batch_size: int,
+    text_bucket: int = 77,
+    cond_fn: Optional[Callable[[Dict[str, np.ndarray]], np.ndarray]] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Assemble ``{latents, cond, clip_feat, sync_feat}`` batches for ``flow_match_loss``.
+
+    Audio-only (T2A-style) training conditions on the model's *learned* empty clip/sync
+    sequences and zero text (the reference's unconditioned branch, ``hifi_foley.py:620-635``);
+    pass ``cond_fn(batch) -> [B, L, condition_dim]`` to supply real text features instead.
+    Clip/sync lengths follow the sampler's T2A formula (``features.py::t2a_features``), so a
+    model trained here sees the exact inference-time empty-sequence geometry.
+    """
+    from foley_tpu.models import mmdit as mmdit_model
+
+    probe = next(iter(latent_iter))
+    lat_len = probe["latents"].shape[0]
+    first = [probe]
+
+    duration_s = lat_len / pipeline_cfg.model.audio_frame_rate
+    clip_len, sync_len = pipeline_cfg.t2a_lengths(duration_s)
+    clip_feat = np.asarray(
+        mmdit_model.get_empty_clip_sequence(mmdit_params, batch_size, clip_len), np.float32
+    )
+    sync_feat = np.asarray(
+        mmdit_model.get_empty_sync_sequence(mmdit_params, batch_size, sync_len), np.float32
+    )
+
+    def items():
+        yield from first
+        yield from latent_iter
+
+    for batch in batch_items(items(), batch_size, keys=("latents",)):
+        cond = (
+            cond_fn(batch) if cond_fn is not None
+            else np.zeros((batch_size, text_bucket, pipeline_cfg.model.condition_dim), np.float32)
+        )
+        yield {
+            "latents": batch["latents"].astype(np.float32),
+            "cond": cond,
+            "clip_feat": clip_feat,
+            "sync_feat": sync_feat,
+        }
+
+
+# ---------------------------------------------------------------------------------
+# Device prefetch
+# ---------------------------------------------------------------------------------
+
+class PrefetchLoader:
+    """Stage upcoming batches on device from a background thread.
+
+    Wraps a host-side batch iterator; a worker thread calls ``jax.device_put`` (with
+    ``sharding`` when training over a mesh — e.g. ``NamedSharding(mesh, P('data'))`` leaves)
+    up to ``depth`` batches ahead. ``device_put`` is async: the H2D copies overlap the
+    in-flight train step, so a fast-enough host never stalls the chip. Iteration ends when
+    the source iterator does; call ``close()`` to stop early.
+    """
+
+    def __init__(self, batches: Iterator[Dict], depth: int = 2, sharding=None):
+        self._src = batches
+        self._sharding = sharding
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        try:
+            for batch in self._src:
+                if self._stop.is_set():
+                    return
+                staged = jax.device_put(batch, self._sharding)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            self._q.put(_SENTINEL)
+        except Exception as e:  # surface loader errors on the consumer side
+            self._q.put(_LoaderError(e))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _SENTINEL:
+            raise StopIteration
+        if isinstance(item, _LoaderError):
+            raise item.error
+        return item
+
+    def close(self):
+        self._stop.set()
+
+
+_SENTINEL = object()
+
+
+class _LoaderError:
+    def __init__(self, error: BaseException):
+        self.error = error

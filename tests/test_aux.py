@@ -219,6 +219,21 @@ def test_block_suffix_offload_exact_and_per_block():
     got_all = np.asarray(mmdit.apply(split_all, *args, cfg))
     np.testing.assert_allclose(got_all, ref, atol=1e-5, rtol=1e-5)
 
+    # the gated fetch window (_run_stack prefetch_depth) is numerics-neutral at any depth:
+    # serial (1 = default), double-buffered, wider than the tail
+    for depth in (2, 3, 99):
+        got_d = np.asarray(mmdit.apply(split_all, *args, cfg, offload_prefetch=depth))
+        np.testing.assert_allclose(got_d, ref, atol=1e-5, rtol=1e-5)
+
+    # incremental SHRINK while staying split (5 -> 2: returning blocks restack through host)
+    split_back = offload_block_suffix(split_all, 2)
+    assert is_split_stack(split_back["single_blocks"])
+    assert not is_split_stack(split_back["triple_blocks"])
+    assert len(split_back["single_blocks"]["offloaded"]) == 2
+    assert jax.tree.leaves(split_back["single_blocks"]["resident"])[0].shape[0] == 2
+    got_b = np.asarray(mmdit.apply(split_back, *args, cfg))
+    np.testing.assert_allclose(got_b, ref, atol=1e-5, rtol=1e-5)
+
     # merge restores the plain stacked layout and the same numbers
     merged = merge_block_suffix(split_all)
     assert not is_split_stack(merged["single_blocks"])

@@ -292,6 +292,56 @@ def test_int8_quantize_policy_and_fidelity():
     assert rel < 0.01, rel
 
 
+def test_int8_on_host_consume_equivalence():
+    """on_host (numpy math) + consume (source tree cleared) produce bit-identical quantized
+    trees to the device path — the HBM-bounded loading recipe for the 10 GiB XXL."""
+    from foley_tpu.core.params import flatten_params as flat
+    from foley_tpu.io.quantize import quantize_int8
+
+    ref_params = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q_dev, c_dev, s_dev = quantize_int8(ref_params)
+    victim = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q_host, c_host, s_host = quantize_int8(victim, on_host=True, consume=True)
+    assert victim == {}  # consumed
+    assert (c_dev, s_dev) == (c_host, s_host)
+    fd, fh = flat(q_dev), flat(q_host)
+    assert set(fd) == set(fh)
+    for k in fd:
+        np.testing.assert_array_equal(np.asarray(fd[k]), np.asarray(fh[k]), err_msg=k)
+
+
+def test_int8_dynamic_matmul_path():
+    """int8xint8 (dynamic activation quant) dense: int32 accumulation + fused dequant stays
+    within ~2% of the fp32 matmul, and a marked tiny-model forward runs finite end-to-end."""
+    from foley_tpu.io.quantize import quantize_int8
+    from foley_tpu.ops.nn import dense
+
+    rng = np.random.default_rng(1)
+    w32 = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.2)
+    x = jnp.asarray(rng.normal(size=(6, 64)).astype(np.float32))
+    scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    ref = dense(x, w32)
+    got = dense(x, {"int8_dyn": q, "scale": scale})
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.02, rel
+
+    params, counts, _ = quantize_int8(mmdit.init(jax.random.PRNGKey(0), CFG), dynamic=True)
+    assert counts["quantized"] > 0
+    assert "int8_dyn" in params["triple_blocks"]["audio_self_attn_qkv"]["w"]
+    rng = np.random.default_rng(2)
+    out = mmdit.apply(
+        params,
+        jnp.asarray(rng.normal(size=(1, 20, CFG.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([400.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 4, CFG.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.sync_feat_dim)).astype(np.float32)),
+        CFG,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_int8_end_to_end_generation():
     from foley_tpu.io.quantize import quantize_int8
     from foley_tpu.models import dac_vae

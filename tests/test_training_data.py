@@ -1,0 +1,141 @@
+"""Training data pipeline: WAV datasets, latent shards, batch assembly, device prefetch."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foley_tpu.io.audio import read_wav, write_wav
+
+
+def _write_corpus(root, rng, n=3, sr=48000, seconds=0.4):
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        t = rng.standard_normal(int(sr * seconds)).astype(np.float32) * 0.3
+        write_wav(os.path.join(root, f"clip_{i}.wav"), t, sr)
+
+
+def test_read_wav_formats_and_resample(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4800) * 0.25).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 24000)
+    got, sr = read_wav(p)
+    assert sr == 24000 and got.shape == x.shape
+    np.testing.assert_allclose(got, x, atol=2 / 32768)  # PCM16 quantization
+    up, sr2 = read_wav(p, target_sr=48000)
+    assert sr2 == 48000 and up.shape == (9600,)
+
+
+def test_audio_folder_dataset_crops_and_loops(tmp_path):
+    from foley_tpu.training.data import AudioFolderDataset, batch_items
+
+    rng = np.random.default_rng(1)
+    _write_corpus(str(tmp_path), rng, n=3, seconds=0.2)  # files shorter than the clip
+    ds = AudioFolderDataset(str(tmp_path), clip_seconds=0.5, sample_rate=48000, seed=0)
+    it = iter(ds)
+    items = [next(it) for _ in range(5)]
+    for item in items:
+        assert item["audio"].shape == (24000,)
+        assert np.abs(item["audio"]).max() > 0
+    batches = batch_items(iter(items), 2, keys=("audio",))
+    b = next(batches)
+    assert b["audio"].shape == (2, 24000)
+
+
+def test_encode_corpus_shards_and_flow_match_batches(tmp_path):
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae, mmdit
+    from foley_tpu.training.data import (
+        AudioFolderDataset,
+        NpzShardDataset,
+        encode_corpus,
+        flow_match_batches,
+    )
+
+    rng = np.random.default_rng(2)
+    corpus = str(tmp_path / "wavs")
+    _write_corpus(corpus, rng, n=2, seconds=0.5)
+    ds = AudioFolderDataset(corpus, clip_seconds=0.5, sample_rate=TINY.dac.sample_rate, seed=0)
+
+    dac_params = dac_vae.init(jax.random.PRNGKey(0), TINY.dac)
+    shard_dir = str(tmp_path / "shards")
+    shards = encode_corpus(dac_params, TINY.dac, ds, shard_dir, num_clips=5, batch_size=2,
+                           shard_size=3)
+    assert len(shards) >= 2 and all(os.path.exists(s) for s in shards)
+
+    lat_ds = NpzShardDataset(shard_dir, seed=0)
+    probe = next(iter(lat_ds))
+    lat_len = probe["latents"].shape[0]
+    assert lat_len == TINY.latent_length(0.5)
+
+    mmdit_params = mmdit.init(jax.random.PRNGKey(1), TINY.model)
+    batches = flow_match_batches(iter(lat_ds), mmdit_params, TINY, batch_size=2,
+                                 text_bucket=8)
+    b = next(batches)
+    assert b["latents"].shape == (2, lat_len, TINY.model.audio_vae_latent_dim)
+    assert b["cond"].shape == (2, 8, TINY.model.condition_dim)
+    clip_len, sync_len = TINY.t2a_lengths(lat_len / TINY.model.audio_frame_rate)
+    assert b["clip_feat"].shape == (2, clip_len, TINY.model.clip_dim)
+    assert b["sync_feat"].shape == (2, sync_len, TINY.model.sync_feat_dim)
+    # the empty sequences come from the model's learned embeddings (zero-INITIALIZED like the
+    # reference's nn.Parameter(torch.zeros(...)), so only the broadcast geometry is asserted)
+    assert np.all(b["clip_feat"] == b["clip_feat"][:1, :1])
+
+
+def test_prefetch_loader_matches_source_and_propagates_errors():
+    from foley_tpu.training.data import PrefetchLoader
+
+    src = [{"x": np.full((2, 3), float(i))} for i in range(5)]
+    out = list(PrefetchLoader(iter(src), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), src[i]["x"])
+
+    def bad():
+        yield {"x": np.zeros(2)}
+        raise ValueError("loader boom")
+
+    it = PrefetchLoader(bad(), depth=1)
+    next(it)
+    with pytest.raises(ValueError, match="loader boom"):
+        next(it)
+
+
+def test_train_loop_runs_on_pipeline_batches(tmp_path):
+    """End-to-end: WAVs -> DAC latent shards -> flow-match batches -> 2 train steps."""
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae, mmdit
+    from foley_tpu.training import loop
+    from foley_tpu.training.data import (
+        AudioFolderDataset,
+        NpzShardDataset,
+        PrefetchLoader,
+        encode_corpus,
+        flow_match_batches,
+    )
+
+    rng = np.random.default_rng(3)
+    corpus = str(tmp_path / "wavs")
+    _write_corpus(corpus, rng, n=2, seconds=0.5)
+    dac_params = dac_vae.init(jax.random.PRNGKey(0), TINY.dac)
+    shard_dir = str(tmp_path / "shards")
+    encode_corpus(
+        dac_params, TINY.dac,
+        AudioFolderDataset(corpus, 0.5, TINY.dac.sample_rate, seed=0),
+        shard_dir, num_clips=4, batch_size=2,
+    )
+    params = mmdit.init(jax.random.PRNGKey(1), TINY.model)
+    batches = PrefetchLoader(
+        flow_match_batches(iter(NpzShardDataset(shard_dir)), params, TINY, batch_size=2,
+                           text_bucket=8),
+        depth=2,
+    )
+    state = loop.train(params, iter(batches), TINY.model, num_steps=2, log_every=0,
+                       ckpt_dir=None)
+    batches.close()
+    assert int(state.step) == 2
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))

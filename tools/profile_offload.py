@@ -56,7 +56,13 @@ def main():
     cur = base_params
     del base_params
     fm["params"] = None
-    for swap in (0, 10, 36, 54):
+    # (swap, prefetch-window) grid. window=1 (gated serial fetch) is the shipping default —
+    # measured SAFE at any swap depth; window>=2 RESOURCE_EXHAUSTs at 36 blocks on the axon
+    # runtime (the barrier pairing appears to device-promote the pending host operands), and
+    # window>=len(blocks) degenerates to the ungated all-up-front fetch (the round-2 design:
+    # fast at 36, OOM at 54). 54 = every block off-chip, the minimal-HBM headline mode.
+    grid = [(0, 1), (10, 1), (36, 1), (54, 1)]
+    for swap, window in grid:
         try:
             cur = offload_block_suffix(cur, swap) if swap else cur
             params = cur
@@ -66,7 +72,7 @@ def main():
                 return np.asarray(denoise_latents(
                     params, lat, features, jnp.float32(4.5), cfg=cfg.model,
                     diffusion=cfg.diffusion, num_steps=steps, solver="euler", use_cfg=True,
-                    attn_impl="xla", compute_dtype=jnp.bfloat16,
+                    attn_impl="xla", compute_dtype=jnp.bfloat16, offload_prefetch=window,
                 ))
 
             t0 = time.perf_counter()
@@ -78,12 +84,13 @@ def main():
                 run(i + 1)
                 walls.append(time.perf_counter() - t0)
             walls.sort()
-            emit(measure=f"blockswap_{swap}_step_ms",
+            emit(measure=f"blockswap_{swap}_w{window}_step_ms",
                  value=round(1e3 * walls[len(walls) // 2] / steps, 2),
                  host_resident_gib=round(offloaded_bytes(params) / 2**30, 2),
                  compile_s=round(compile_s, 1))
         except Exception as e:
-            emit(measure=f"blockswap_{swap}_step_ms", error=f"{type(e).__name__}: {e}"[:300])
+            emit(measure=f"blockswap_{swap}_w{window}_step_ms",
+                 error=f"{type(e).__name__}: {e}"[:300])
     return 0
 
 
