@@ -41,10 +41,19 @@ class MediaProcessingError(RuntimeError):
 def read_wav(path: str, target_sr: Optional[int] = None) -> "tuple[np.ndarray, int]":
     """Read a WAV file to a mono fp32 [T] waveform in [-1, 1] plus its sample rate.
 
-    Stdlib-only decode (PCM 16/24/32-bit and IEEE float32 — the formats the reference's
-    torchaudio ingest path sees in practice); multi-channel is averaged to mono. When
-    ``target_sr`` differs from the file rate, resamples via the native C++ path
-    (``io/native.py::resample_linear``, numpy fallback inside)."""
+    Decodes PCM 16/24/32-bit and IEEE float32 (the formats the reference's torchaudio ingest
+    path sees in practice); multi-channel is averaged to mono. The native C++ one-call path
+    (``native/audioio.cpp::af_load_wav_mono``: parse + decode + mono + resample, no Python
+    copies) is used when built; the stdlib/numpy decode below is the fallback."""
+    from foley_tpu.io.native import load_wav_mono
+
+    try:
+        native = load_wav_mono(path, target_sr)
+    except OSError:
+        native = None  # unsupported encoding in the native path: fall through and let the
+        # Python parser produce its (more descriptive) error or handle the file
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         header = f.read(12)
         if header[:4] != b"RIFF" or header[8:12] != b"WAVE":

@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.af_resample_linear.restype = ctypes.c_long
         lib.af_wav_image.argtypes = [f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, u8p]
         lib.af_wav_image.restype = ctypes.c_long
+        if hasattr(lib, "af_load_wav_mono"):  # present since the data-pipeline build
+            lib.af_load_wav_mono.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.af_load_wav_mono.restype = ctypes.c_long
         _lib = lib
         logger.info(f"native audioio loaded from {_LIB_PATH}")
     except OSError as e:
@@ -103,6 +109,28 @@ def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     i0 = np.clip(pos.astype(np.int64), 0, x.shape[0] - 2)
     frac = (pos - i0).astype(np.float32)
     return (1 - frac) * x[i0] + frac * x[i0 + 1]
+
+
+def load_wav_mono(path: str, target_sr: Optional[int] = None):
+    """Native one-call WAV ingest: parse + decode (PCM 16/24/32, float32) + mono-average +
+    linear resample, no Python-side copies (the training data-loader hot loop,
+    ``native/audioio.cpp::af_load_wav_mono``). Returns (mono fp32 [T], sample_rate) or None
+    when the library is unavailable / lacks the symbol (caller falls back to
+    ``io/audio.py::read_wav``). Raises on unreadable/unsupported files."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "af_load_wav_mono"):
+        return None
+    tsr = int(target_sr) if target_sr else 0
+    sr = ctypes.c_int(0)
+    n = lib.af_load_wav_mono(path.encode(), tsr, None, 0, ctypes.byref(sr))
+    if n < 0:
+        raise OSError(f"af_load_wav_mono({path!r}) failed with code {n}")
+    out = np.empty(int(n), np.float32)
+    got = lib.af_load_wav_mono(path.encode(), tsr,
+                               out.ctypes.data_as(ctypes.c_void_p), n, ctypes.byref(sr))
+    if got != n:
+        raise OSError(f"af_load_wav_mono({path!r}) decode failed with code {got}")
+    return out, int(sr.value)
 
 
 def wav_image(waveform: np.ndarray, sample_rate: int) -> bytes:

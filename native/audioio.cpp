@@ -12,6 +12,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <algorithm>
 
 extern "C" {
@@ -83,6 +84,115 @@ long af_wav_image(const float* interleaved, long n_samples, int channels, int sa
     w32((uint32_t)data_bytes);
     af_float_to_pcm16(interleaved, (int16_t*)p, n_samples * channels);
     return total;
+}
+
+// ---------------------------------------------------------------------------------
+// WAV ingest (the training data-loader hot loop): parse RIFF, decode PCM 16/24/32 or
+// float32, average to mono, linear-resample to target_sr — one call, no Python copies.
+//
+// Two-phase protocol (so the caller allocates exactly once):
+//   n = af_load_wav_mono(path, target_sr, NULL, 0, &sr);   // probe: output length (or <0)
+//   af_load_wav_mono(path, target_sr, buf, n, &sr);        // decode into buf
+// target_sr <= 0 keeps the file rate. Errors: -1 open, -2 not RIFF/WAVE, -3 missing
+// chunks, -4 unsupported encoding, -5 buffer too small.
+// ---------------------------------------------------------------------------------
+
+static long af__read_chunks(FILE* f, uint8_t** fmt_out, long* fmt_len,
+                            uint8_t** data_out, long* data_len) {
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, f) != 12) return -2;
+    if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) return -2;
+    *fmt_out = nullptr; *data_out = nullptr;
+    uint8_t ch[8];
+    while (fread(ch, 1, 8, f) == 8) {
+        uint32_t size; memcpy(&size, ch + 4, 4);
+        long padded = (long)size + (size & 1);
+        uint8_t* buf = (uint8_t*)malloc(size);
+        if (!buf) return -3;
+        if (fread(buf, 1, size, f) != size) { free(buf); break; }
+        if (padded != (long)size) fseek(f, 1, SEEK_CUR);
+        if (memcmp(ch, "fmt ", 4) == 0 && !*fmt_out) { *fmt_out = buf; *fmt_len = size; }
+        else if (memcmp(ch, "data", 4) == 0 && !*data_out) { *data_out = buf; *data_len = size; }
+        else free(buf);
+        if (*fmt_out && *data_out) break;
+    }
+    return (*fmt_out && *data_out) ? 0 : -3;
+}
+
+long af_load_wav_mono(const char* path, int target_sr, float* out, long out_cap,
+                      int* sr_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t *fmt = nullptr, *data = nullptr; long fmt_len = 0, data_len = 0;
+    long rc = af__read_chunks(f, &fmt, &fmt_len, &data, &data_len);
+    fclose(f);
+    if (rc != 0) { free(fmt); free(data); return rc; }
+
+    uint16_t audio_format, channels, bits; uint32_t sr;
+    memcpy(&audio_format, fmt + 0, 2);
+    memcpy(&channels, fmt + 2, 2);
+    memcpy(&sr, fmt + 4, 4);
+    memcpy(&bits, fmt + 14, 2);
+    if (audio_format == 0xFFFE && fmt_len >= 26) memcpy(&audio_format, fmt + 24, 2);
+    if (channels == 0) { free(fmt); free(data); return -4; }
+
+    long frames;
+    float* mono = nullptr;
+    if (audio_format == 3 && bits == 32) {
+        frames = data_len / (4L * channels);
+        mono = (float*)malloc(sizeof(float) * frames);
+        const float* s = (const float*)data;
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc / channels);
+        }
+    } else if (audio_format == 1 && bits == 16) {
+        frames = data_len / (2L * channels);
+        mono = (float*)malloc(sizeof(float) * frames);
+        const int16_t* s = (const int16_t*)data;
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc / channels / 32768.0);
+        }
+    } else if (audio_format == 1 && bits == 32) {
+        frames = data_len / (4L * channels);
+        mono = (float*)malloc(sizeof(float) * frames);
+        const int32_t* s = (const int32_t*)data;
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+            mono[i] = (float)(acc / channels / 2147483648.0);
+        }
+    } else if (audio_format == 1 && bits == 24) {
+        frames = data_len / (3L * channels);
+        mono = (float*)malloc(sizeof(float) * frames);
+        const uint8_t* s = data;
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0;
+            for (int c = 0; c < channels; ++c) {
+                const uint8_t* p3 = s + 3 * (i * channels + c);
+                int32_t v = (int32_t)(p3[0] | (p3[1] << 8) | ((int8_t)p3[2] << 16));
+                acc += v;
+            }
+            mono[i] = (float)(acc / channels / 8388608.0);
+        }
+    } else {
+        free(fmt); free(data); return -4;
+    }
+    free(fmt); free(data);
+
+    long n_out = frames;
+    if (target_sr > 0 && (uint32_t)target_sr != sr && frames > 0)
+        n_out = (long)llround((double)frames * target_sr / sr);
+    if (sr_out) *sr_out = (target_sr > 0) ? target_sr : (int)sr;
+    if (!out) { free(mono); return n_out; }           // probe call
+    if (out_cap < n_out) { free(mono); return -5; }
+    if (n_out == frames) memcpy(out, mono, sizeof(float) * frames);
+    else af_resample_linear(mono, frames, out, n_out);
+    free(mono);
+    return n_out;
 }
 
 }  // extern "C"

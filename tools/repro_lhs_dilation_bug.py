@@ -17,12 +17,10 @@ import sys
 import numpy as np
 
 
-def main():
+def check(t_in, cin, cout, k=6, s=3, padding=2, output_padding=1):
     import jax.numpy as jnp
     from jax import lax
 
-    k, s, padding, output_padding = 6, 3, 2, 1
-    t_in, cin, cout = 7, 2, 2
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, t_in, cin)).astype(np.float32)
     w = rng.normal(size=(k, cin, cout)).astype(np.float32)  # WIO
@@ -54,13 +52,24 @@ def main():
     )
 
     a, b = np.asarray(out_a), np.asarray(out_b)
-    err_a = np.abs(a - ref).max()
-    err_b = np.abs(b - ref).max()
-    print(f"shapes: lhs_dilation {a.shape}, explicit-pad {b.shape}, ref {ref.shape}")
-    print(f"max|lhs_dilation - ref| = {err_a:.6f}")
-    print(f"max|explicit_pad - ref| = {err_b:.6f}")
-    if err_a < 1e-4 and err_b < 1e-4:
-        print("MATCH: lhs_dilation is correct on this runtime — workaround can be retired")
+    # fp32 HIGHEST rel tolerance scaled to accumulation depth
+    tol = 1e-3 * np.abs(ref).max()
+    err_a, err_b = np.abs(a - ref).max(), np.abs(b - ref).max()
+    ok = err_a < tol and err_b < tol
+    print(f"t_in={t_in:5d} cin={cin:4d} cout={cout:4d}: "
+          f"|lhs_dilation-ref|={err_a:.5f} |explicit_pad-ref|={err_b:.5f} "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+    return ok
+
+
+def main():
+    # shapes from tiny probe up to the DAC decoder's stage-4 geometry (T ~ thousands,
+    # C ~ tens) — the original failure was observed at real decode shapes
+    ok = True
+    for t_in, cin, cout in [(7, 2, 2), (250, 16, 8), (1000, 64, 32), (6000, 96, 48)]:
+        ok &= check(t_in, cin, cout)
+    if ok:
+        print("ALL MATCH: lhs_dilation is correct on this runtime at the probed shapes")
         return 0
     print("MISMATCH: lhs_dilation path is miscompiled on this runtime (keep the workaround)")
     return 1
