@@ -317,8 +317,12 @@ def triple_block_apply(
     attn_mask: Optional[jnp.ndarray] = None,
     sync_vec: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    text_kv=None,
 ):
-    """TwoStreamCABlock (reference ``hifi_foley.py:179-333``). Returns (audio, v_cond)."""
+    """TwoStreamCABlock (reference ``hifi_foley.py:179-333``). Returns (audio, v_cond).
+
+    ``text_kv``: optional precomputed (t_k, t_v) for this block (``precompute_text_kv``);
+    when given, ``cond`` is unused."""
     nh, eps = cfg.num_heads, cfg.qk_norm_eps
     audio_len, visual_len = audio.shape[1], v_cond.shape[1]
 
@@ -367,7 +371,7 @@ def triple_block_apply(
         return _triple_block_tail(params, audio, cond, v_cond, ropes, cfg,
                                   (a2_shift, a2_scale, a2_gate, a3_shift, a3_scale, a3_gate),
                                   (v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate),
-                                  attn_impl)
+                                  attn_impl, text_kv=text_kv)
 
     a_q = _qk_norm(params["audio_self_q_norm"], a_q, eps)
     a_k = _qk_norm(params["audio_self_k_norm"], a_k, eps)
@@ -412,11 +416,22 @@ def triple_block_apply(
         params, audio, cond, v_cond, ropes, cfg,
         (a2_shift, a2_scale, a2_gate, a3_shift, a3_scale, a3_gate),
         (v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate),
-        attn_impl,
+        attn_impl, text_kv=text_kv,
     )
 
 
-def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, attn_impl):
+def _text_kv(params, cond, ropes_text, nh: int, eps: float):
+    """Text-side K/V of one triple block's cross-attention: projection, k-norm, RoPE —
+    all timestep-invariant (reference recomputes per forward, ``hifi_foley.py:293-308``)."""
+    t_kv = apply_dense(params["text_cross_kv"], cond)
+    t_k, t_v = (_split_heads(u, nh) for u in jnp.split(t_kv, 2, axis=-1))
+    t_k = _qk_norm(params["text_cross_k_norm"], t_k, eps)
+    t_k = apply_rotary_emb(t_k, *ropes_text)
+    return t_k, t_v
+
+
+def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, attn_impl,
+                       text_kv=None):
     """Cross-attention vs text + gated MLPs (stages 2-3 of TwoStreamCABlock)."""
     nh, eps = cfg.num_heads, cfg.qk_norm_eps
     visual_len = v_cond.shape[1]
@@ -428,14 +443,13 @@ def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, 
     v_in = modulate(layer_norm(v_cond), v2_shift, v2_scale)
     a_q = _qk_norm(params["audio_cross_q_norm"], _split_heads(apply_dense(params["audio_cross_q"], a_in), nh), eps)
     v_q = _qk_norm(params["v_cond_cross_q_norm"], _split_heads(apply_dense(params["v_cond_cross_q"], v_in), nh), eps)
-    t_kv = apply_dense(params["text_cross_kv"], cond)
-    t_k, t_v = (_split_heads(u, nh) for u in jnp.split(t_kv, 2, axis=-1))
-    t_k = _qk_norm(params["text_cross_k_norm"], t_k, eps)
+    # text k/v are timestep-invariant: take the per-generation precompute when provided
+    # (hoisted out of the denoise step scan, ``precompute_text_kv``), else compute in-block.
+    t_k, t_v = text_kv if text_kv is not None else _text_kv(params, cond, ropes.text, nh, eps)
 
-    # 1-D RoPE on q (per-stream positions) and text k (reference hifi_foley.py:293-308).
+    # 1-D RoPE on q (per-stream positions); text k was rotated in _text_kv.
     a_q = apply_rotary_emb(a_q, *ropes.audio)
     v_q = apply_rotary_emb(v_q, *ropes.visual_cross)
-    t_k = apply_rotary_emb(t_k, *ropes.text)
 
     q = jnp.concatenate([v_q, a_q], axis=1)
     cross = sdpa(q, t_k, t_v, impl="xla" if attn_impl == "pallas_fused" else attn_impl)
@@ -493,7 +507,7 @@ def single_block_apply(
 
 
 def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
-               prefetch_depth: int = 1):
+               prefetch_depth: int = 1, extra_xs=None):
     """Scan a block stack; a placement-split stack (``parallel/offload.py::
     offload_block_suffix``) runs one scan over the HBM-resident prefix, then applies each
     pinned-host block unrolled with an explicit fetch — the reference's per-block prefetch
@@ -513,10 +527,11 @@ def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
         body = make_body(fetch)
         if remat:
             body = jax.checkpoint(body)
-        carry, _ = jax.lax.scan(body, carry, part)
+        carry, _ = jax.lax.scan(body, carry, part if extra_xs is None else (part,) + extra_xs)
         return carry
 
     if is_split_stack(stack):
+        assert extra_xs is None, "extra_xs is unsupported for placement-split stacks"
         resident = stack["resident"]
         if jax.tree.leaves(resident)[0].shape[0]:
             carry = scan(resident, carry, False)
@@ -541,6 +556,37 @@ def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
                 window.append(fetch(gated))
         return carry
     return scan(stack, carry, offload_fetch)
+
+
+def precompute_text_kv(params: Dict, cond: jnp.ndarray, cfg: MMDiTConfig):
+    """Per-generation precompute of every triple block's text cross-attention K/V.
+
+    The text-side projection + k-norm + RoPE (``_text_kv``) depend only on the prompt
+    features and the block weights — NOT on the timestep — yet sit inside the denoise step
+    scan, where XLA cannot hoist them out of the inner block scan (the reference recomputes
+    them per forward too, ``hifi_foley.py:293-308``). Computing them once per generation
+    removes ~18 x [L_text, H] x [H, 2H] matmuls from every step (~2% of XXL step FLOPs;
+    the stack is only ~[18, 2B, 77, H] x 2 in memory).
+
+    Takes the RAW (condition_dim) text features in the compute dtype; applies the cond_in
+    projection exactly as ``apply`` does. Returns (t_k, t_v) stacked [N_blocks, ...], or
+    None when the triple stack is placement-split (host offload streams blocks; the tail
+    computes in-block).
+    """
+    from foley_tpu.parallel.offload import is_split_stack
+
+    stack = params["triple_blocks"]
+    if is_split_stack(stack):
+        return None
+    cond_p = apply_dense(params["cond_in"]["linear_2"],
+                         jax.nn.silu(apply_dense(params["cond_in"]["linear_1"], cond)))
+    ropes_text = rope_table(cond.shape[1], cfg.head_dim, cfg.rope_theta)
+
+    def body(_, block_params):
+        return None, _text_kv(block_params, cond_p, ropes_text, cfg.num_heads, cfg.qk_norm_eps)
+
+    _, (t_k, t_v) = jax.lax.scan(body, None, stack)
+    return t_k, t_v
 
 
 def apply_final_layer(params: Dict, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -581,6 +627,7 @@ def apply(
     remat: bool = False,
     offload_fetch: bool = False,
     offload_prefetch: int = 1,
+    text_kv=None,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -618,8 +665,9 @@ def apply(
             sync_add = sf
 
     # ---- embeddings ----
-    cond = apply_dense(params["cond_in"]["linear_2"],
-                       jax.nn.silu(apply_dense(params["cond_in"]["linear_1"], cond)))
+    if text_kv is None:  # hoisted path (precompute_text_kv) already consumed the projection
+        cond = apply_dense(params["cond_in"]["linear_2"],
+                           jax.nn.silu(apply_dense(params["cond_in"]["linear_1"], cond)))
     audio = apply_conv1d(params["audio_embedder"], x, stride=cfg.patch_size)  # [B, T, H]
     v_cond = swiglu(
         apply_dense(params["visual_proj"]["w1"], clip_feat),
@@ -651,7 +699,8 @@ def apply(
         audio = audio + sync_add  # injected before block 0 (reference :838-839)
 
     def triple_body(fetch):
-        def body(carry, block_params):
+        def body(carry, xs):
+            block_params, block_text_kv = (xs, None) if text_kv is None else (xs[0], xs[1:])
             if fetch:
                 # Stream this block's params from pinned host memory into HBM (the block-swap
                 # analog, parallel/offload.py). NOT unconditional: device_put(Space.Device) on
@@ -662,13 +711,14 @@ def apply(
             a, vc = triple_block_apply(
                 block_params, a, cond, vc, vec, ropes, cfg,
                 attn_mask=attn_mask, sync_vec=sync_vec, attn_impl=attn_impl,
+                text_kv=block_text_kv,
             )
             return (a, vc), None
         return body
 
     audio, v_cond = _run_stack(
         params["triple_blocks"], (audio, v_cond), triple_body, remat, offload_fetch,
-        prefetch_depth=offload_prefetch,
+        prefetch_depth=offload_prefetch, extra_xs=text_kv,
     )
 
     # ---- per-token modulation vector for single blocks (reference :860-867) ----

@@ -89,6 +89,11 @@ def denoise_latents(
     sync_feat = features.sync_feat.astype(compute_dtype)
     g = guidance_scale.astype(jnp.float32)
 
+    # Hoist the timestep-invariant text cross-attention K/V out of the step scan: computed
+    # once per generation here instead of 18x per step inside it (mmdit.precompute_text_kv;
+    # None when the triple stack is host-offloaded — streamed blocks compute in-block).
+    text_kv = mmdit.precompute_text_kv(params, cond, cfg)
+
     def step_fn(carry, t):
         lat, state = carry  # lat: fp32
         latent_input = jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
@@ -97,6 +102,7 @@ def denoise_latents(
         v = mmdit.apply(
             params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
             attn_impl=attn_impl, offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
+            text_kv=text_kv,
         ).astype(jnp.float32)
         if use_cfg:
             v_uncond, v_cond = jnp.split(v, 2, axis=0)

@@ -192,3 +192,39 @@ def test_non_interleaved_rope_variant():
     a_i, _ = mmdit.triple_block_apply(blocks0, audio, cond, v_cond, vec, ropes_i, CFG)
     assert np.all(np.isfinite(np.asarray(a_ni)))
     assert np.abs(np.asarray(a_ni) - np.asarray(a_i)).max() > 0
+
+
+def test_text_kv_hoist_matches_in_block_compute():
+    """apply(text_kv=precompute_text_kv(...)) == apply() exactly: the hoist moves the same
+    projection/norm/RoPE ops out of the step scan without changing any math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import mmdit
+
+    cfg = TINY.model
+    params = mmdit.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    args = (
+        jnp.asarray(rng.normal(size=(2, 20, cfg.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([500.0, 250.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 8, cfg.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 4, cfg.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 8, cfg.sync_feat_dim)).astype(np.float32)),
+    )
+    ref = np.asarray(mmdit.apply(params, *args, cfg))
+    tkv = mmdit.precompute_text_kv(params, args[2], cfg)
+    assert tkv is not None and tkv[0].shape[0] == cfg.depth_triple_blocks
+    got = np.asarray(mmdit.apply(params, *args, cfg, text_kv=tkv))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # host-offloaded (split) stacks decline the hoist and compute in-block
+    from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
+
+    if host_memory_available():
+        split = offload_block_suffix(params, cfg.depth_single_blocks + 1)
+        assert mmdit.precompute_text_kv(split, args[2], cfg) is None
+        got_split = np.asarray(mmdit.apply(split, *args, cfg))
+        np.testing.assert_allclose(got_split, ref, atol=1e-5, rtol=1e-5)
