@@ -16,9 +16,12 @@ The full recipe:
 
 import argparse
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

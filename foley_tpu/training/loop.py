@@ -92,3 +92,15 @@ def train(
     if ckpt_dir:
         save_checkpoint(ckpt_dir, state)
     return state
+
+
+def export_for_inference(state: TrainState, path: str) -> str:
+    """Save ONLY the fine-tuned params in the layout ``HunyuanModelLoader`` loads
+    (an orbax params dir, same as ``python -m foley_tpu.io.convert`` produces) — the
+    train->deploy handoff: training checkpoints carry optimizer state and step for resume;
+    the sampler wants the bare pytree."""
+    from foley_tpu.io.orbax_io import save_params
+
+    save_params(path, state.params)
+    logger.info(f"exported inference params (step {int(state.step)}) to {path}")
+    return path

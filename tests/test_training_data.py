@@ -139,3 +139,17 @@ def test_train_loop_runs_on_pipeline_batches(tmp_path):
     batches.close()
     assert int(state.step) == 2
     assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))
+
+    # train -> deploy handoff: exported params load through the sampler's orbax loader path
+    # and generate (the fine-tuned-checkpoint capability the reference lacks)
+    from foley_tpu.api.nodes import HunyuanModelLoader
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    export_dir = str(tmp_path / "deploy")
+    loop.export_for_inference(state, export_dir)
+    (fm,) = HunyuanModelLoader().load_model(export_dir, precision="fp32", config="tiny")
+    bundle = ModelBundle(mmdit_params=fm["params"], dac_params=dac_params,
+                         pipeline_cfg=TINY, compute_dtype=jnp.float32)
+    text = jnp.zeros((1, 8, TINY.model.condition_dim), jnp.float32)
+    res = generate_audio(bundle, text, text, 0.5, num_inference_steps=2, batch_size=1, seed=0)
+    assert np.isfinite(res.audio_batch).all()
