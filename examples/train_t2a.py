@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--num_steps", type=int, default=10)
     ap.add_argument("--num_clips", type=int, default=8, help="clips to encode into shards")
     ap.add_argument("--ckpt_dir", default="", help="orbax checkpoint dir (resume-exact)")
+    ap.add_argument("--model_path", default="",
+                    help="pretrained MMDiT to fine-tune (.pth/.safetensors/orbax dir); "
+                         "random init if empty")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +49,7 @@ def main():
         PrefetchLoader,
         encode_corpus,
         flow_match_batches,
+        latent_stats_from_shards,
     )
     from foley_tpu.training.loop import train
 
@@ -69,10 +73,20 @@ def main():
     encode_corpus(dac_params, cfg.dac, dataset, shard_dir, num_clips=args.num_clips,
                   batch_size=args.batch_size)
 
-    params = mmdit.init(jax.random.PRNGKey(1), cfg.model)
+    if args.model_path:
+        from foley_tpu.api.nodes import HunyuanModelLoader
+
+        (fm,) = HunyuanModelLoader().load_model(args.model_path, precision="fp32",
+                                                config=args.config)
+        params = fm["params"]
+    else:
+        params = mmdit.init(jax.random.PRNGKey(1), cfg.model)
+    # standardize latents when training from scratch (random DAC => arbitrary latent scale);
+    # fine-tuning a pretrained model should skip this (it lives in the raw DAC latent space)
+    stats = latent_stats_from_shards(shard_dir) if not args.model_path else None
     batches = PrefetchLoader(
         flow_match_batches(iter(NpzShardDataset(shard_dir)), params, cfg,
-                           batch_size=args.batch_size),
+                           batch_size=args.batch_size, latent_stats=stats),
         depth=2,
     )
     state = train(params, iter(batches), cfg.model, num_steps=args.num_steps,

@@ -183,6 +183,39 @@ class NpzShardDataset:
                     yield {"latents": lat[int(ri)]}
 
 
+def latent_stats_from_shards(shard_dir: str) -> tuple:
+    """Per-channel (mean, std) over every latent frame in a shard directory.
+
+    Flow matching pairs data with unit-Gaussian noise, so training wants latents at O(1)
+    scale (the latent-diffusion "scale factor" recipe). Fine-tuning a *pretrained* MMDiT must
+    keep the raw scale it was trained at (identity stats); training from scratch — or against
+    an untuned/random DAC, whose latents can be arbitrarily scaled — should standardize with
+    these stats and decode through the matching inverse (``latent_stats`` in
+    ``flow_match_batches``).
+    """
+    count = 0
+    mean = None
+    m2 = None
+    for path in sorted(os.path.join(shard_dir, n) for n in os.listdir(shard_dir)
+                       if n.endswith(".npz")):
+        with np.load(path) as z:
+            lat = z["latents"].astype(np.float64)  # [N, T, C]
+        flat = lat.reshape(-1, lat.shape[-1])
+        if mean is None:
+            mean = np.zeros(flat.shape[-1])
+            m2 = np.zeros(flat.shape[-1])
+        # Chan-style streaming moments (shards may not fit memory together)
+        n_new = flat.shape[0]
+        delta = flat.mean(0) - mean
+        mean += delta * n_new / (count + n_new)
+        m2 += flat.var(0) * n_new + delta**2 * count * n_new / (count + n_new)
+        count += n_new
+    if mean is None:
+        raise FileNotFoundError(f"no .npz shards under {shard_dir}")
+    std = np.sqrt(m2 / count)
+    return mean.astype(np.float32), np.maximum(std, 1e-6).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------------
 # Flow-matching batch assembly
 # ---------------------------------------------------------------------------------
@@ -194,6 +227,7 @@ def flow_match_batches(
     batch_size: int,
     text_bucket: int = 77,
     cond_fn: Optional[Callable[[Dict[str, np.ndarray]], np.ndarray]] = None,
+    latent_stats: Optional[tuple] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Assemble ``{latents, cond, clip_feat, sync_feat}`` batches for ``flow_match_loss``.
 
@@ -202,6 +236,11 @@ def flow_match_batches(
     pass ``cond_fn(batch) -> [B, L, condition_dim]`` to supply real text features instead.
     Clip/sync lengths follow the sampler's T2A formula (``features.py::t2a_features``), so a
     model trained here sees the exact inference-time empty-sequence geometry.
+
+    ``latent_stats=(mean, std)`` (see ``latent_stats_from_shards``) standardizes latents per
+    channel before batching — required when training from scratch so the flow-matching
+    targets are at the unit-noise scale; leave ``None`` (identity) when fine-tuning a
+    pretrained model, which already lives in the raw DAC latent space.
     """
     from foley_tpu.models import mmdit as mmdit_model
 
@@ -227,8 +266,12 @@ def flow_match_batches(
             cond_fn(batch) if cond_fn is not None
             else np.zeros((batch_size, text_bucket, pipeline_cfg.model.condition_dim), np.float32)
         )
+        lat = batch["latents"].astype(np.float32)
+        if latent_stats is not None:
+            mean, std = latent_stats
+            lat = (lat - mean) / std
         yield {
-            "latents": batch["latents"].astype(np.float32),
+            "latents": lat,
             "cond": cond,
             "clip_feat": clip_feat,
             "sync_feat": sync_feat,

@@ -84,6 +84,23 @@ def test_encode_corpus_shards_and_flow_match_batches(tmp_path):
     # reference's nn.Parameter(torch.zeros(...)), so only the broadcast geometry is asserted)
     assert np.all(b["clip_feat"] == b["clip_feat"][:1, :1])
 
+    # corpus latent standardization (from-scratch training; latent-diffusion scale recipe):
+    # streamed per-channel stats match direct computation over all shards, and the
+    # standardized batch stream is ~zero-mean/unit-std per channel
+    from foley_tpu.training.data import latent_stats_from_shards
+
+    mean, std = latent_stats_from_shards(shard_dir)
+    all_lat = np.concatenate([np.load(s)["latents"] for s in shards]).reshape(
+        -1, TINY.model.audio_vae_latent_dim)
+    np.testing.assert_allclose(mean, all_lat.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(std, all_lat.std(0), rtol=1e-4, atol=1e-6)
+
+    norm_batches = flow_match_batches(iter(NpzShardDataset(shard_dir, seed=0)), mmdit_params,
+                                      TINY, batch_size=5, text_bucket=8,
+                                      latent_stats=(mean, std))
+    nb = next(norm_batches)["latents"].reshape(-1, TINY.model.audio_vae_latent_dim)
+    assert np.abs(nb.mean(0)).max() < 0.5 and np.abs(nb.std(0) - 1.0).max() < 0.5
+
 
 def test_prefetch_loader_matches_source_and_propagates_errors():
     from foley_tpu.training.data import PrefetchLoader
