@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip checkpoints; random-init the given config (smoke tests)")
     p.add_argument("--single_prompt", type=str, default="")
     p.add_argument("--neg_prompt", type=str, default="noisy, harsh")
-    p.add_argument("--single_video", type=str, default=None, help="Video file for V2A")
+    p.add_argument("--single_video", type=str, default=None,
+                   help="Video file (ffmpeg) or directory of image frames (PIL) for V2A")
+    p.add_argument("--frames_fps", type=float, default=16.0,
+                   help="Frame rate declared for --single_video when it is a frames directory")
     p.add_argument("--csv_path", type=str, default=None, help="Batch CSV: video_path,prompt")
     p.add_argument("--duration", type=float, default=5.0)
     p.add_argument("--guidance_scale", type=float, default=4.5)
@@ -110,6 +113,14 @@ def main(argv=None) -> int:
                 "dac_params": dac_vae.init(jax.random.PRNGKey(args.seed + 1), cfg.dac),
                 "dac_cfg": cfg.dac,
             }
+            if args.single_video:
+                # checkpoint-free V2A smoke: random-weight encoders matched to the model dims
+                from foley_tpu.models import siglip2 as siglip_mod
+                from foley_tpu.models import synchformer as sync_mod
+
+                dependencies["siglip2"] = siglip_mod.init_random(args.seed + 2, cfg.model.clip_dim)
+                dependencies["synchformer"] = sync_mod.init_random(
+                    args.seed + 3, cfg.model.sync_feat_dim)
         else:
             if not args.model_path:
                 print("error: provide --model_path or --random_init", file=sys.stderr)
@@ -137,11 +148,11 @@ def main(argv=None) -> int:
         if args.audio_input:
             return _edit_audio(args, foley_model, dependencies, logger)
 
-        image = None
+        image, fps = None, 16.0
         if args.single_video:
             from foley_tpu.pipeline.video import read_video_frames
 
-            image, fps = read_video_frames(args.single_video)
+            image, fps = read_video_frames(args.single_video, dir_fps=args.frames_fps)
             logger.info(f"read {image.shape[0]} frames @ {fps} fps")
 
         sampler_node = HunyuanFoleySampler()
@@ -149,6 +160,7 @@ def main(argv=None) -> int:
         audio_first, audio_batch = sampler_node.generate_audio(
             foley_model,
             dependencies,
+            frame_rate=fps,  # the source fps, so 8/25-fps feature resampling is correct
             duration=args.duration,
             prompt=args.single_prompt,
             negative_prompt=args.neg_prompt,

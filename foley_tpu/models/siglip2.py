@@ -116,6 +116,52 @@ def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: SiglipVisionConfig,
 
 
 # ---------------------------------------------------------------------------------
+# Random init (smoke runs / tests)
+# ---------------------------------------------------------------------------------
+
+def init(key, cfg: SiglipVisionConfig, dtype=jnp.float32) -> Dict:
+    """Random params in ``convert_hf_state_dict``'s layout (incl. the MAP pooling head)."""
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    keys = iter(jax.random.split(key, 12 + 6 * cfg.num_hidden_layers))
+
+    def lin(kin, kout):
+        return {"w": 0.02 * jax.random.normal(next(keys), (kin, kout), dtype),
+                "b": jnp.zeros((kout,), dtype)}
+
+    def ln():
+        return {"weight": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)}
+
+    params: Dict = {
+        "patch_embedding": lin(cfg.num_channels * cfg.patch_size ** 2, h),
+        "position_embedding": 0.02 * jax.random.normal(next(keys), (cfg.grid ** 2, h), dtype),
+        "post_layernorm": ln(),
+        "layers": [
+            {"ln1": ln(), "q": lin(h, h), "k": lin(h, h), "v": lin(h, h), "out": lin(h, h),
+             "ln2": ln(), "fc1": lin(h, inter), "fc2": lin(inter, h)}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+        "head": {
+            "probe": 0.02 * jax.random.normal(next(keys), (1, 1, h), dtype),
+            "q": lin(h, h), "k": lin(h, h), "v": lin(h, h), "out": lin(h, h),
+            "ln": ln(), "fc1": lin(h, inter), "fc2": lin(inter, h),
+        },
+    }
+    return params
+
+
+def init_random(seed: int, feat_dim: int = 768) -> "Siglip2Encoder":
+    """Random-weight encoder for checkpoint-free smoke runs (CLI ``--random_init`` V2A).
+
+    ``feat_dim`` must match the MMDiT's ``clip_dim``; 768 selects the real base-model
+    geometry, anything else a tiny 2-layer stand-in with the same code paths."""
+    cfg = SiglipVisionConfig() if feat_dim == 768 else SiglipVisionConfig(
+        hidden_size=feat_dim, intermediate_size=2 * feat_dim, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+    )
+    return Siglip2Encoder(init(jax.random.PRNGKey(seed), cfg), cfg)
+
+
+# ---------------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------------
 

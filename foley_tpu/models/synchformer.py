@@ -158,6 +158,20 @@ def init(key, cfg: SynchformerConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
+def init_random(seed: int, feat_dim: int = 768) -> "SynchformerEncoder":
+    """Random-weight encoder for checkpoint-free smoke runs (CLI ``--random_init`` V2A).
+
+    ``feat_dim`` must match the MMDiT's ``sync_feat_dim``; 768 selects the real
+    divided_224_16x4 geometry, anything else a tiny 2-layer stand-in. ``num_frames`` stays 16
+    either way — the pipeline's segmentation (16-frame windows, stride 8) and the MMDiT's
+    8-token sync grouping depend on it."""
+    cfg = SynchformerConfig() if feat_dim == 768 else SynchformerConfig(
+        img_size=32, patch_size=8, temporal_patch_size=2, num_frames=16,
+        embed_dim=feat_dim, depth=2, num_heads=2, mlp_ratio=2.0,
+    )
+    return SynchformerEncoder(init(jax.random.PRNGKey(seed), cfg), cfg)
+
+
 # ---------------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------------

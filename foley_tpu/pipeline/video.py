@@ -1,15 +1,19 @@
 """Video frame reading (host-side). The reference reads frames with PyAV at a target fps
-(``feature_utils.py:20-61``); PyAV isn't in this image, so frames are decoded with an ffmpeg
-rawvideo pipe when ffmpeg is available, and a clear error is raised otherwise."""
+(``feature_utils.py:20-61``); PyAV isn't in this image, so video files are decoded with an
+ffmpeg rawvideo pipe when ffmpeg is available, and a clear error is raised otherwise. A
+directory of image frames (PNG/JPEG/...) is also accepted — V2A without any video toolchain."""
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff")
 
 
 def _probe(path: str) -> Tuple[int, int, float]:
@@ -27,10 +31,44 @@ def _probe(path: str) -> Tuple[int, int, float]:
     return int(info["width"]), int(info["height"]), fps
 
 
-def read_video_frames(
-    path: str, target_fps: Optional[float] = None, max_frames: Optional[int] = None
+def read_frames_dir(
+    path: str, fps: float = 16.0, target_fps: Optional[float] = None,
+    max_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, float]:
-    """Decode frames to [T, H, W, 3] float32 in [0, 1]. Returns (frames, effective_fps)."""
+    """Read a directory of image files (sorted by name) as video frames — no ffmpeg needed.
+
+    The sequence is declared to play at ``fps``; ``target_fps`` resamples by nearest index
+    (the reference's ``torch.linspace`` + ``index_select`` recipe, ``nodes.py:294-317``).
+    Returns ([T, H, W, 3] float32 in [0, 1], effective_fps). All frames must share one size.
+    """
+    from PIL import Image
+
+    names = sorted(n for n in os.listdir(path) if n.lower().endswith(_IMAGE_EXTS))
+    if not names:
+        raise RuntimeError(f"no image frames ({'/'.join(_IMAGE_EXTS)}) under {path}")
+    frames = np.stack([
+        np.asarray(Image.open(os.path.join(path, n)).convert("RGB"), np.uint8) for n in names
+    ])
+    if target_fps and target_fps != fps:
+        n_out = max(int(round(frames.shape[0] * target_fps / fps)), 1)
+        idx = np.linspace(0, frames.shape[0] - 1, n_out).round().astype(int)
+        frames = frames[idx]
+        fps = target_fps
+    if max_frames:
+        frames = frames[:max_frames]
+    return frames.astype(np.float32) / 255.0, float(fps)
+
+
+def read_video_frames(
+    path: str, target_fps: Optional[float] = None, max_frames: Optional[int] = None,
+    dir_fps: float = 16.0,
+) -> Tuple[np.ndarray, float]:
+    """Decode frames to [T, H, W, 3] float32 in [0, 1]. Returns (frames, effective_fps).
+
+    ``path`` may be a video file (decoded via ffmpeg) or a directory of image frames
+    (read via PIL, declared to play at ``dir_fps``)."""
+    if os.path.isdir(path):
+        return read_frames_dir(path, fps=dir_fps, target_fps=target_fps, max_frames=max_frames)
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError("ffmpeg not found; install ffmpeg to read videos")

@@ -12,6 +12,11 @@ paused by XLA compilation), plus a stdlib HTTP server exposing:
   body: {"prompt": str, "negative_prompt": str, "duration": float, "steps": int,
          "cfg_scale": float, "sampler": str, "batch_size": int, "seed": int,
          "response": "wav"|"json"}
+  V2A (server started with video encoders): add {"frames_b64": base64(.npz with "frames"
+  [T,H,W,3] uint8 or float[0,1]), "frames_fps": float} or {"frames_path": server-local
+  video file / image-frames directory}. Visual features reuse the T2A shape buckets
+  (clip/sync lengths are duration-derived either way), so V2A requests hit the same
+  warmed programs.
 
 Generation is serialized with a lock (one TPU program at a time); duration is snapped to the
 warmed bucket set to avoid recompiles in production. ``BatchingFoleyService`` (enabled with
@@ -44,9 +49,11 @@ class FoleyService:
         batch_sizes: Sequence[int] = (1,),
         text_buckets: Sequence[int] = (77,),
         default_steps: int = 50,
+        video_encoders: Optional[Dict] = None,
     ):
         self.bundle = bundle
         self.text_encoder = text_encoder
+        self.video_encoders = video_encoders
         self.durations = sorted(durations)
         self.batch_sizes = sorted(batch_sizes)
         self.text_buckets = sorted(text_buckets)
@@ -78,6 +85,42 @@ class FoleyService:
                 return d
         return self.durations[-1]
 
+    # -- V2A inputs -------------------------------------------------------------
+    @staticmethod
+    def _frames_from_request(request: Dict):
+        """Decode a request's video input, if any -> ([T,H,W,3] float [0,1], fps)."""
+        fps = float(request.get("frames_fps", 16.0))
+        if "frames_b64" in request:
+            import io as _io
+
+            raw = base64.b64decode(request["frames_b64"])
+            with np.load(_io.BytesIO(raw)) as z:
+                frames = z["frames"]
+            if frames.dtype == np.uint8:
+                frames = frames.astype(np.float32) / 255.0
+            return np.clip(frames.astype(np.float32), 0.0, 1.0), fps
+        if "frames_path" in request:
+            from foley_tpu.pipeline.video import read_video_frames
+
+            return read_video_frames(request["frames_path"], dir_fps=fps)
+        return None, None
+
+    def _visual_features(self, request: Dict, bucket_duration: float):
+        """Encode request video (when present) into (clip_feat, sync_feat) or (None, None)."""
+        frames, fps = self._frames_from_request(request)
+        if frames is None:
+            return None, None
+        if not self.video_encoders:
+            raise ValueError(
+                "V2A request (frames_b64/frames_path) but the server has no video encoders; "
+                "start it with --enable_v2a"
+            )
+        from foley_tpu.api.nodes import HunyuanFoleySampler
+
+        return HunyuanFoleySampler._encode_video(
+            self.video_encoders, frames, fps, bucket_duration, self.bundle.pipeline_cfg
+        )
+
     # -- inference --------------------------------------------------------------
     def generate(self, request: Dict) -> Dict:
         import jax.numpy as jnp
@@ -88,6 +131,7 @@ class FoleyService:
         bucket_duration = self._snap_duration(duration)
         steps = int(request.get("steps", self.default_steps))
         batch = int(request.get("batch_size", 1))
+        clip_feat, sync_feat = self._visual_features(request, bucket_duration)
         if self.text_encoder is not None:
             from foley_tpu.models import clap as clap_mod
 
@@ -101,6 +145,8 @@ class FoleyService:
         with self._lock:
             result = generate_audio(
                 self.bundle, text, uncond, bucket_duration,
+                clip_feat=clip_feat,
+                sync_feat=sync_feat,
                 guidance_scale=float(request.get("cfg_scale", 4.5)),
                 num_inference_steps=steps,
                 sampler=request.get("sampler", "euler"),
@@ -156,6 +202,10 @@ class BatchingFoleyService(FoleyService):
             self.error = None
 
     def generate(self, request: Dict) -> Dict:
+        if "frames_b64" in request or "frames_path" in request:
+            # V2A rows carry per-request visual features generate_audio_multi doesn't batch;
+            # serve them directly (lock-serialized with the dispatcher's device work).
+            return FoleyService.generate(self, request)
         pending = self._Pending(request)
         with self._queue_lock:
             self._queue.append(pending)
@@ -377,6 +427,9 @@ def main(argv=None) -> int:
     p.add_argument("--warmup_steps", type=int, default=50)
     p.add_argument("--max_batch", type=int, default=1,
                    help=">1 enables request coalescing (BatchingFoleyService)")
+    p.add_argument("--enable_v2a", action="store_true",
+                   help="load the SigLIP2/Synchformer encoders so requests may carry video "
+                        "(frames_b64 / frames_path)")
     args = p.parse_args(argv)
 
     import jax
@@ -399,6 +452,14 @@ def main(argv=None) -> int:
             compute_dtype=fm["dtype"],
         )
         text_encoder = None
+        video_encoders = None
+        if args.enable_v2a:
+            from foley_tpu.models import siglip2, synchformer
+
+            video_encoders = {
+                "siglip2": siglip2.init_random(2, cfg.model.clip_dim),
+                "synchformer": synchformer.init_random(3, cfg.model.sync_feat_dim),
+            }
     else:
         import os
 
@@ -412,12 +473,16 @@ def main(argv=None) -> int:
             compute_dtype=manager.foley["dtype"],
         )
         text_encoder = manager.clap
+        video_encoders = None
+        if args.enable_v2a:
+            video_encoders = {"siglip2": manager.siglip2, "synchformer": manager.synchformer}
 
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}
     service = service_cls(
         bundle, text_encoder,
         durations=tuple(float(x) for x in args.durations.split(",")),
+        video_encoders=video_encoders,
         **extra,
     )
     service.warmup(steps=args.warmup_steps)

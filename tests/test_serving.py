@@ -20,15 +20,30 @@ from foley_tpu.serving import FoleyService, create_server
 
 @pytest.fixture(scope="module")
 def service():
+    from foley_tpu.models import siglip2, synchformer
+
     bundle = ModelBundle(
         mmdit_params=mmdit.init(jax.random.PRNGKey(0), TINY.model),
         dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
         pipeline_cfg=TINY,
         compute_dtype=jnp.float32,
     )
-    svc = FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
+    encoders = {
+        "siglip2": siglip2.init_random(2, TINY.model.clip_dim),
+        "synchformer": synchformer.init_random(3, TINY.model.sync_feat_dim),
+    }
+    svc = FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2,
+                       video_encoders=encoders)
     svc.warmup(steps=2)
     return svc
+
+
+def _frames_b64(n=16, h=24, w=24) -> str:
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames)
+    return base64.b64encode(buf.getvalue()).decode()
 
 
 @pytest.fixture(scope="module")
@@ -193,6 +208,70 @@ def test_batching_service_splits_mismatched_buckets():
         outs = list(ex.map(svc.generate, reqs))
     for out in outs:
         assert out["waveform"].shape == (1, 48000)
+
+
+def test_v2a_request_service_level(service):
+    """frames_b64 flows through the sampler's video-encoder path and reuses the warmed
+    T2A shape bucket (clip/sync lengths are duration-derived either way)."""
+    out = service.generate({
+        "prompt": "clink", "duration": 1.0, "steps": 2, "seed": 1,
+        "frames_b64": _frames_b64(), "frames_fps": 16.0,
+    })
+    assert out["waveform"].shape == (1, 48000)
+    wf = np.asarray(out["waveform"])
+    assert np.all(np.isfinite(wf)) and np.abs(wf).max() > 0
+
+
+def test_v2a_request_frames_path(service, tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(16):
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)).save(
+            d / f"f_{i:03d}.png")
+    out = service.generate({
+        "prompt": "clink", "duration": 1.0, "steps": 2, "seed": 1,
+        "frames_path": str(d), "frames_fps": 16.0,
+    })
+    assert out["waveform"].shape == (1, 48000)
+
+
+def test_v2a_without_encoders_is_a_clear_error(service):
+    svc = FoleyService(service.bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
+    with pytest.raises(ValueError, match="enable_v2a"):
+        svc.generate({"prompt": "x", "duration": 1.0, "steps": 2,
+                      "frames_b64": _frames_b64()})
+
+
+def test_v2a_http_roundtrip(server):
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps({
+            "prompt": "clink", "duration": 1.0, "steps": 2, "seed": 5,
+            "frames_b64": _frames_b64(), "frames_fps": 16.0,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        with wave.open(io.BytesIO(r.read())) as f:
+            assert f.getframerate() == 48000 and f.getnframes() == 48000
+
+
+def test_batching_service_serves_v2a_directly(service):
+    """V2A requests bypass the coalescing queue (per-request visual features aren't
+    batchable) but still serialize with the device lock."""
+    from foley_tpu.serving.server import BatchingFoleyService
+
+    svc = BatchingFoleyService(
+        service.bundle, durations=(1.0,), text_buckets=(16,), default_steps=2,
+        video_encoders=service.video_encoders, max_batch=2, batch_window_s=0.01,
+    )
+    out = svc.generate({"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 2,
+                        "frames_b64": _frames_b64()})
+    assert out["waveform"].shape == (1, 48000)
 
 
 def test_cli_gradio_flag(monkeypatch):

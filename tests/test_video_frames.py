@@ -1,0 +1,80 @@
+"""Frames-directory video ingest (V2A without ffmpeg) + the CLI V2A smoke path.
+
+The reference reads videos with PyAV (``feature_utils.py:20-61``) and has no image-sequence
+input; here a directory of image frames is a first-class video source so V2A runs in
+environments with no video toolchain at all.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from foley_tpu.pipeline.video import read_frames_dir, read_video_frames
+
+
+def _write_frames(path, n=8, h=24, w=32):
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        Image.fromarray(f).save(os.path.join(path, f"frame_{i:04d}.png"))
+    return frames
+
+
+def test_read_frames_dir_order_values_fps(tmp_path):
+    d = str(tmp_path / "frames")
+    ref = _write_frames(d, n=8)
+    (tmp_path / "frames" / "notes.txt").write_text("ignored")  # non-image files skipped
+    frames, fps = read_frames_dir(d, fps=12.0)
+    assert frames.shape == (8, 24, 32, 3) and fps == 12.0
+    assert frames.dtype == np.float32 and 0.0 <= frames.min() and frames.max() <= 1.0
+    # PNG round-trips uint8 exactly; sorted-name order == write order
+    np.testing.assert_array_equal((frames * 255).round().astype(np.uint8), ref)
+
+
+def test_read_frames_dir_resample_nearest_index(tmp_path):
+    d = str(tmp_path / "frames")
+    ref = _write_frames(d, n=10)
+    frames, fps = read_frames_dir(d, fps=20.0, target_fps=10.0)
+    assert fps == 10.0 and frames.shape[0] == 5
+    idx = np.linspace(0, 9, 5).round().astype(int)
+    np.testing.assert_array_equal((frames * 255).round().astype(np.uint8), ref[idx])
+    # max_frames truncates after resampling
+    frames, _ = read_frames_dir(d, fps=20.0, max_frames=3)
+    assert frames.shape[0] == 3
+
+
+def test_read_video_frames_accepts_directory(tmp_path):
+    d = str(tmp_path / "frames")
+    ref = _write_frames(d, n=4)
+    frames, fps = read_video_frames(d, dir_fps=8.0)
+    assert frames.shape == (4, 24, 32, 3) and fps == 8.0
+    np.testing.assert_array_equal((frames * 255).round().astype(np.uint8), ref)
+    with pytest.raises(RuntimeError, match="no image frames"):
+        read_frames_dir(str(tmp_path))
+
+
+def test_cli_v2a_from_frames_dir(tmp_path):
+    """End-to-end: --random_init tiny + a frames directory -> valid WAV, with the declared
+    --frames_fps flowing into the 8/25-fps feature resampling (regression: the CLI used to
+    drop the source fps and let the sampler assume 16)."""
+    import wave
+
+    from foley_tpu.cli import main
+
+    d = str(tmp_path / "frames")
+    _write_frames(d, n=16, h=40, w=40)
+    out = str(tmp_path / "v2a.wav")
+    rc = main([
+        "--random_init", "tiny", "--single_video", d, "--frames_fps", "16",
+        "--single_prompt", "clink", "--duration", "1", "--num_inference_steps", "2",
+        "--batch_size", "1", "--seed", "0", "--precision", "fp32", "--output", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    with wave.open(out) as f:
+        assert f.getframerate() == 48000
+        assert f.getnframes() == 48000
+        pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert np.abs(pcm).max() > 0
