@@ -36,7 +36,17 @@ def main():
     ap.add_argument("--model_path", default="",
                     help="pretrained MMDiT to fine-tune (.pth/.safetensors/orbax dir); "
                          "random init if empty")
+    ap.add_argument("--dac_path", default="",
+                    help="DAC-VAE checkpoint used to encode the corpus; REQUIRED with "
+                         "--model_path (a pretrained MMDiT only understands latents from "
+                         "the DAC it was trained with — encoding with a random DAC would "
+                         "silently destroy it)")
+    ap.add_argument("--export_dir", default="",
+                    help="after training, export bare params (+ latent stats when training "
+                         "from scratch) in the layout HunyuanModelLoader loads")
     args = ap.parse_args()
+    if args.model_path and not args.dac_path:
+        ap.error("--model_path fine-tuning requires --dac_path (see its help)")
 
     import jax
 
@@ -67,7 +77,13 @@ def main():
             write_wav(os.path.join(corpus, f"tone_{i}.wav"), wav.astype(np.float32), 48000)
         print(f"synthesized 4 demo clips under {corpus}")
 
-    dac_params = dac_vae.init(jax.random.PRNGKey(0), cfg.dac)
+    if args.dac_path:
+        from foley_tpu.io.convert import convert_dac_state_dict, load_torch_state_dict
+
+        dac_params = convert_dac_state_dict(load_torch_state_dict(args.dac_path), cfg.dac,
+                                            consume=True)
+    else:
+        dac_params = dac_vae.init(jax.random.PRNGKey(0), cfg.dac)
     shard_dir = os.path.join(workdir, "shards")
     dataset = AudioFolderDataset(corpus, args.clip_seconds, cfg.dac.sample_rate, seed=0)
     encode_corpus(dac_params, cfg.dac, dataset, shard_dir, num_clips=args.num_clips,
@@ -92,6 +108,10 @@ def main():
     state = train(params, iter(batches), cfg.model, num_steps=args.num_steps,
                   ckpt_dir=args.ckpt_dir or None, log_every=max(args.num_steps // 5, 1))
     batches.close()
+    if args.export_dir:
+        from foley_tpu.training.loop import export_for_inference
+
+        export_for_inference(state, args.export_dir, latent_stats=stats)
     print(f"done: {int(state.step)} steps")
 
 

@@ -103,6 +103,8 @@ class HunyuanModelLoader:
         return ({"params": params, "cfg": cfg, "dtype": dtype},)
 
     def _load_orbax(self, path: str, precision: str, quantization: str, cfg: PipelineConfig):
+        import os
+
         from foley_tpu.core.dtypes import FP8_DTYPES
         from foley_tpu.io.orbax_io import load_params
 
@@ -129,7 +131,17 @@ class HunyuanModelLoader:
                 params, counts, saved = quantize_fp8(params, qmode)
             logger.info(f"{qmode} wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
         logger.info(f"MMDiT loaded from orbax: {param_bytes(params) / 2**30:.2f} GiB ({precision})")
-        return ({"params": params, "cfg": cfg, "dtype": dtype},)
+        out = {"params": params, "cfg": cfg, "dtype": dtype}
+        # from-scratch-trained exports carry the latent standardization the sampler must
+        # invert before DAC decode (training/loop.py::export_for_inference)
+        stats_file = os.path.join(path, "latent_stats.npz")
+        if os.path.exists(stats_file):
+            import numpy as np
+
+            with np.load(stats_file) as z:
+                out["latent_stats"] = (jnp.asarray(z["mean"]), jnp.asarray(z["std"]))
+            logger.info("latent standardization stats attached (from-scratch export)")
+        return (out,)
 
     @staticmethod
     def init_random(config: str = "tiny", precision: str = "bf16", seed: int = 0):
@@ -383,6 +395,7 @@ class HunyuanFoleySampler:
             compute_dtype=foley_model.get("dtype", jnp.bfloat16),
             offload_fetch=offload_fetch,
             offload_prefetch=1 + int((block_swap_args or {}).get("prefetch_blocks", 0)),
+            latent_stats=foley_model.get("latent_stats"),
         )
 
         # AOT warmup over the declared shape buckets (the torch.compile node's runtime role,

@@ -217,6 +217,7 @@ def _edit_audio(args, foley_model, dependencies, logger) -> int:
         dac_params=dependencies["dac_params"],
         pipeline_cfg=cfg,
         compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+        latent_stats=foley_model.get("latent_stats"),
     )
     if "clap" in dependencies:
         from foley_tpu.models import clap as clap_mod

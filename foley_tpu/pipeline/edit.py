@@ -56,6 +56,10 @@ def edit_audio(
     # 1. encode to latents (posterior mode — deterministic)
     posterior = _encode_jit(bundle.dac_params, jnp.asarray(wav)[..., None], cfg.dac)
     z1 = posterior.mode().astype(jnp.float32)  # [B, T_lat, D] "data" end of the flow
+    if bundle.latent_stats is not None:
+        # from-scratch-trained models denoise in the standardized latent space
+        mean, std = bundle.latent_stats
+        z1 = (z1 - mean) / std
 
     # 2. renoise to sigmas[begin_index] on the linear path: x_sigma = (1-s) x1 + s x0
     begin_index = int(round((1.0 - strength) * num_inference_steps))
@@ -86,6 +90,9 @@ def edit_audio(
         solver=sampler, use_cfg=use_cfg, compute_dtype=bundle.compute_dtype,
         begin_index=begin_index, offload_fetch=bundle.offload_fetch,
     )
+    if bundle.latent_stats is not None:
+        mean, std = bundle.latent_stats
+        final_latents = final_latents * std + mean
     out = _decode_jit(bundle.dac_params, final_latents, cfg.dac)
     out_np = np.asarray(out)[:, :t, 0][:, None, :]
     return GenerationResult(

@@ -44,6 +44,7 @@ class ModelBundle(NamedTuple):
     compute_dtype: jnp.dtype = jnp.bfloat16
     offload_fetch: bool = False  # block stacks live in pinned host memory (block-swap analog)
     offload_prefetch: int = 1  # HBM fetch window for split stacks (1 = gated serial fetch)
+    latent_stats: Optional[tuple] = None  # (mean[C], std[C]) for from-scratch-trained models
 
 
 @dataclasses.dataclass
@@ -116,6 +117,7 @@ def generate_audio(
         latents,
         features,
         jnp.float32(guidance_scale),
+        bundle.latent_stats,
         cfg=cfg.model,
         diffusion=cfg.diffusion,
         dac_cfg=cfg.dac,
@@ -205,7 +207,11 @@ def generate_audio_multi(
         compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
         offload_prefetch=bundle.offload_prefetch,
     )
-    audio = jax.block_until_ready(_decode_jit(bundle.dac_params, final_latents, cfg.dac))
+    raw = final_latents
+    if bundle.latent_stats is not None:
+        mean, std = bundle.latent_stats
+        raw = final_latents * std + mean
+    audio = jax.block_until_ready(_decode_jit(bundle.dac_params, raw, cfg.dac))
     n_samples = int(duration_s * cfg.dac.sample_rate)
     audio_np = np.asarray(audio)[:, :n_samples, 0][:, None, :]
     return GenerationResult(

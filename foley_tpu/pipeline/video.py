@@ -31,31 +31,43 @@ def _probe(path: str) -> Tuple[int, int, float]:
     return int(info["width"]), int(info["height"]), fps
 
 
+def _natural_key(name: str):
+    """Sort key treating digit runs numerically, so frame_2 < frame_10 (and 2.png < 10.png)."""
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name.lower())]
+
+
 def read_frames_dir(
     path: str, fps: float = 16.0, target_fps: Optional[float] = None,
     max_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, float]:
-    """Read a directory of image files (sorted by name) as video frames — no ffmpeg needed.
+    """Read a directory of image files (natural-sorted by name) as video frames — no ffmpeg.
 
-    The sequence is declared to play at ``fps``; ``target_fps`` resamples by nearest index
-    (the reference's ``torch.linspace`` + ``index_select`` recipe, ``nodes.py:294-317``).
-    Returns ([T, H, W, 3] float32 in [0, 1], effective_fps). All frames must share one size.
-    """
+    The sequence is declared to play at ``fps``; ``target_fps`` resamples with the same
+    ``torch.linspace`` + truncating ``index_select`` recipe the sampler uses everywhere else
+    (``ops/interp.py::linspace_resample_indices``, reference ``nodes.py:294-317``). Frame
+    selection happens on the *name list* before any decoding, so a bounded request never
+    decodes the whole directory. Returns ([T, H, W, 3] float32 in [0, 1], effective_fps);
+    all frames must share one size."""
     from PIL import Image
 
-    names = sorted(n for n in os.listdir(path) if n.lower().endswith(_IMAGE_EXTS))
+    from foley_tpu.ops.interp import linspace_resample_indices
+
+    names = sorted((n for n in os.listdir(path) if n.lower().endswith(_IMAGE_EXTS)),
+                   key=_natural_key)
     if not names:
         raise RuntimeError(f"no image frames ({'/'.join(_IMAGE_EXTS)}) under {path}")
+    if target_fps and target_fps != fps:
+        n_out = max(int(round(len(names) * target_fps / fps)), 1)
+        idx = np.asarray(linspace_resample_indices(len(names), n_out))
+        names = [names[i] for i in idx]
+        fps = target_fps
+    if max_frames:
+        names = names[:max_frames]
     frames = np.stack([
         np.asarray(Image.open(os.path.join(path, n)).convert("RGB"), np.uint8) for n in names
     ])
-    if target_fps and target_fps != fps:
-        n_out = max(int(round(frames.shape[0] * target_fps / fps)), 1)
-        idx = np.linspace(0, frames.shape[0] - 1, n_out).round().astype(int)
-        frames = frames[idx]
-        fps = target_fps
-    if max_frames:
-        frames = frames[:max_frames]
     return frames.astype(np.float32) / 255.0, float(fps)
 
 

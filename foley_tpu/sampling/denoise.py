@@ -131,6 +131,7 @@ def denoise_and_decode(
     latents: jnp.ndarray,
     features: DenoiseFeatures,
     guidance_scale: jnp.ndarray,
+    latent_stats=None,
     *,
     cfg: MMDiTConfig,
     diffusion: DiffusionConfig,
@@ -146,7 +147,12 @@ def denoise_and_decode(
 ):
     """Denoise + DAC decode as ONE program: a single host->device dispatch per generation
     (each dispatch costs tens of ms of round-trip latency on tunneled TPU runtimes).
-    Returns (final_latents fp32, audio fp32 [B, T*hop, 1])."""
+    Returns (final_latents fp32 in MODEL latent space, audio fp32 [B, T*hop, 1]).
+
+    ``latent_stats=(mean[C], std[C])``: models trained from scratch with standardized
+    latents (``training/data.py::latent_stats_from_shards``) denoise in the standardized
+    space; the inverse ``z*std + mean`` is applied before DAC decode. ``None`` (pretrained /
+    reference models) decodes the model output directly."""
     from foley_tpu.models import dac_vae
 
     final_latents = denoise_latents(
@@ -155,7 +161,11 @@ def denoise_and_decode(
         attn_impl=attn_impl, compute_dtype=compute_dtype, begin_index=begin_index,
         offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
     )
-    audio = dac_vae.decode(dac_params, final_latents, dac_cfg)
+    raw = final_latents
+    if latent_stats is not None:
+        mean, std = latent_stats
+        raw = final_latents * std + mean
+    audio = dac_vae.decode(dac_params, raw, dac_cfg)
     return final_latents, audio
 
 

@@ -78,6 +78,18 @@ class FoleyService:
                         batch_size=b, seed=0, text_bucket=tb,
                     )
                     self.warm_buckets.append((d, b, tb))
+        if self.video_encoders:
+            # V2A encoder programs depend only on duration (frame counts are fps-derived and
+            # preprocessing resizes to the encoders' fixed input size) — compile them now so
+            # the first video request isn't paused by SigLIP2/Synchformer compilation.
+            from foley_tpu.api.nodes import HunyuanFoleySampler
+
+            for d in self.durations:
+                logger.info(f"warmup: v2a encoders duration={d}s")
+                frames = np.zeros((max(int(round(d * 16.0)), 1), 32, 32, 3), np.float32)
+                HunyuanFoleySampler._encode_video(
+                    self.video_encoders, frames, 16.0, d, self.bundle.pipeline_cfg
+                )
 
     def _snap_duration(self, duration: float) -> float:
         for d in self.durations:
@@ -107,14 +119,15 @@ class FoleyService:
 
     def _visual_features(self, request: Dict, bucket_duration: float):
         """Encode request video (when present) into (clip_feat, sync_feat) or (None, None)."""
-        frames, fps = self._frames_from_request(request)
-        if frames is None:
+        if "frames_b64" not in request and "frames_path" not in request:
             return None, None
         if not self.video_encoders:
+            # before decoding the (possibly multi-MB) payload: fail with the real reason
             raise ValueError(
                 "V2A request (frames_b64/frames_path) but the server has no video encoders; "
                 "start it with --enable_v2a"
             )
+        frames, fps = self._frames_from_request(request)
         from foley_tpu.api.nodes import HunyuanFoleySampler
 
         return HunyuanFoleySampler._encode_video(
@@ -471,6 +484,7 @@ def main(argv=None) -> int:
             dac_params=manager.dac["params"],
             pipeline_cfg=manager.pipeline_cfg,
             compute_dtype=manager.foley["dtype"],
+            latent_stats=manager.foley.get("latent_stats"),
         )
         text_encoder = manager.clap
         video_encoders = None

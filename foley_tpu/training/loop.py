@@ -94,13 +94,25 @@ def train(
     return state
 
 
-def export_for_inference(state: TrainState, path: str) -> str:
+def export_for_inference(state: TrainState, path: str, latent_stats=None) -> str:
     """Save ONLY the fine-tuned params in the layout ``HunyuanModelLoader`` loads
     (an orbax params dir, same as ``python -m foley_tpu.io.convert`` produces) — the
     train->deploy handoff: training checkpoints carry optimizer state and step for resume;
-    the sampler wants the bare pytree."""
+    the sampler wants the bare pytree.
+
+    ``latent_stats=(mean[C], std[C])`` MUST be passed when the model was trained on
+    standardized latents (from-scratch training, ``data.py::latent_stats_from_shards``):
+    it is persisted alongside the params and the loader re-attaches it so the sampler
+    un-standardizes before DAC decode. Omit for fine-tunes in the raw DAC latent space."""
+    import numpy as np
+
     from foley_tpu.io.orbax_io import save_params
 
     save_params(path, state.params)
-    logger.info(f"exported inference params (step {int(state.step)}) to {path}")
+    if latent_stats is not None:
+        mean, std = latent_stats
+        np.savez(os.path.join(path, "latent_stats.npz"),
+                 mean=np.asarray(mean, np.float32), std=np.asarray(std, np.float32))
+    logger.info(f"exported inference params (step {int(state.step)}) to {path}"
+                + (" with latent stats" if latent_stats is not None else ""))
     return path

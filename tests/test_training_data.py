@@ -170,3 +170,31 @@ def test_train_loop_runs_on_pipeline_batches(tmp_path):
     text = jnp.zeros((1, 8, TINY.model.condition_dim), jnp.float32)
     res = generate_audio(bundle, text, text, 0.5, num_inference_steps=2, batch_size=1, seed=0)
     assert np.isfinite(res.audio_batch).all()
+
+    # from-scratch exports persist the latent standardization, the loader re-attaches it,
+    # and the sampler un-standardizes (z*std + mean) before DAC decode — exactly
+    dim = TINY.model.audio_vae_latent_dim
+    mean = np.linspace(-1.0, 1.0, dim).astype(np.float32)
+    std = np.linspace(0.5, 2.0, dim).astype(np.float32)
+    export_std = str(tmp_path / "deploy_std")
+    loop.export_for_inference(state, export_std, latent_stats=(mean, std))
+    (fm_s,) = HunyuanModelLoader().load_model(export_std, precision="fp32", config="tiny")
+    np.testing.assert_array_equal(np.asarray(fm_s["latent_stats"][0]), mean)
+    bundle_s = bundle._replace(latent_stats=fm_s["latent_stats"])
+    res_s = generate_audio(bundle_s, text, text, 0.5, num_inference_steps=2, batch_size=1,
+                           seed=0, return_latents=True)
+    # final latents are reported in model space (identical ODE), audio decodes the raw space
+    res_l = generate_audio(bundle, text, text, 0.5, num_inference_steps=2, batch_size=1,
+                           seed=0, return_latents=True)
+    np.testing.assert_array_equal(res_s.latents, res_l.latents)
+    from foley_tpu.models import dac_vae as dac_mod
+
+    manual = dac_mod.decode(dac_params, jnp.asarray(res_s.latents * std + mean), TINY.dac)
+    n = res_s.audio_batch.shape[-1]
+    # fused-program vs eager decode reorder fp32 ops, and the random-init decoder is
+    # hard-saturated (tanh of huge pre-activations), so isolated zero-crossing samples can
+    # land on opposite signs; the latent-level equality above is the exact check — here
+    # assert near-total sample agreement instead of bit-equality
+    diff = np.abs(res_s.audio_batch[:, 0, :] - np.asarray(manual)[:, :n, 0])
+    assert np.mean(diff < 2e-3) > 0.995 and np.median(diff) < 1e-5
+    assert np.abs(res_s.audio_batch - res_l.audio_batch).max() > 1e-6

@@ -34,16 +34,32 @@ def test_read_frames_dir_order_values_fps(tmp_path):
     np.testing.assert_array_equal((frames * 255).round().astype(np.uint8), ref)
 
 
-def test_read_frames_dir_resample_nearest_index(tmp_path):
+def test_read_frames_dir_resample_matches_sampler_recipe(tmp_path):
+    """fps resampling uses the same linspace+truncate indices as the sampler's
+    resample_frames (ops/interp.py::linspace_resample_indices — torch .long() truncates)."""
     d = str(tmp_path / "frames")
     ref = _write_frames(d, n=10)
     frames, fps = read_frames_dir(d, fps=20.0, target_fps=10.0)
     assert fps == 10.0 and frames.shape[0] == 5
-    idx = np.linspace(0, 9, 5).round().astype(int)
+    idx = np.floor(np.linspace(0, 9, 5)).astype(int)  # [0, 2, 4, 6, 9]
     np.testing.assert_array_equal((frames * 255).round().astype(np.uint8), ref[idx])
     # max_frames truncates after resampling
     frames, _ = read_frames_dir(d, fps=20.0, max_frames=3)
     assert frames.shape[0] == 3
+
+
+def test_read_frames_dir_natural_sort(tmp_path):
+    """Non-zero-padded numeric names read in temporal order (2.png before 10.png)."""
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    order = [1, 2, 3, 10, 11, 20]
+    for i, n in enumerate(order):
+        Image.fromarray(np.full((8, 8, 3), i * 10, np.uint8)).save(d / f"{n}.png")
+    frames, _ = read_frames_dir(str(d), fps=8.0)
+    np.testing.assert_array_equal(
+        (frames[:, 0, 0, 0] * 255).round().astype(int), [i * 10 for i in range(len(order))])
 
 
 def test_read_video_frames_accepts_directory(tmp_path):

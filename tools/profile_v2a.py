@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""V2A end-to-end phase profile on the real TPU at full model dims.
+
+The headline bench (bench.py) measures T2A; this tool measures the *video* pipeline the
+reference calls PHASE 1 + PHASE 2 (``nodes.py:278-405``): SigLIP2-base (512^2, 12-layer)
+over the 8 fps frames, Synchformer (divided_224_16x4 ViT-B) over 16-frame/stride-8 segments
+at 25 fps, then the XXL denoise+decode. Encoders are random-init at the REAL geometry —
+identical compute to checkpointed runs.
+
+Phases reported (median of --iters):
+  * preprocess_s : host-side PIL resize/normalize (the reference does this per-frame on CPU)
+  * siglip2_s    : 8 fps frame encoding on-device
+  * synchformer_s: 25 fps segment encoding on-device
+  * denoise_s    : CFG denoise scan + DAC decode (same program the bench times)
+
+Usage: python tools/profile_v2a.py [--duration 5] [--steps 50] [--config xxl]
+Prints one JSON line for ROADMAP records.
+"""
+
+import argparse
+import json
+import sys
+import time
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="xxl", choices=["xxl", "xl", "tiny"])
+    ap.add_argument("--duration", type=float, default=5.0)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--frame_rate", type=float, default=24.0)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from foley_tpu.api.nodes import HunyuanFoleySampler, HunyuanModelLoader
+    from foley_tpu.configs import get_config
+    from foley_tpu.models import dac_vae, siglip2, synchformer
+    from foley_tpu.pipeline.features import resample_frames, sync_segments
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    cfg = get_config(args.config)
+    fm = HunyuanModelLoader.init_random(args.config, "bf16", seed=0)
+    bundle = ModelBundle(
+        mmdit_params=fm["params"],
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32),
+        pipeline_cfg=cfg,
+        compute_dtype=jnp.bfloat16,
+    )
+    sig = siglip2.init_random(2, cfg.model.clip_dim)
+    sync = synchformer.init_random(3, cfg.model.sync_feat_dim)
+
+    # synthetic clip at the requested frame rate (decode is out of scope — file IO, not TPU)
+    rng = np.random.default_rng(0)
+    n_frames = int(round(args.duration * args.frame_rate))
+    frames = rng.random((n_frames, 360, 640, 3), dtype=np.float32)
+    text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
+
+    def one_pass():
+        t = {}
+        t0 = time.perf_counter()
+        f8 = resample_frames(frames, args.frame_rate, args.duration, cfg.siglip2_fps)
+        f25 = resample_frames(frames, args.frame_rate, args.duration, cfg.synchformer_fps)
+        pre8 = siglip2.preprocess_frames(f8, sig.cfg.image_size)
+        segs = sync_segments(f25)
+        s, seg_t = segs.shape[:2]
+        pre25 = synchformer.preprocess_frames(
+            segs.reshape(s * seg_t, *segs.shape[2:]), sync.cfg.img_size
+        ).reshape(s, seg_t, sync.cfg.img_size, sync.cfg.img_size, 3)
+        t["preprocess_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        clip_feat = np.asarray(sig._apply(sig.params, jnp.asarray(pre8), sig.cfg, pooled=True))[None]
+        t["siglip2_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        sync_feat = np.asarray(sync.encode(pre25))
+        t["synchformer_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        result = generate_audio(
+            bundle, text, text, args.duration,
+            clip_feat=jnp.asarray(clip_feat), sync_feat=jnp.asarray(sync_feat),
+            guidance_scale=4.5, num_inference_steps=args.steps, batch_size=1, seed=0,
+        )
+        np.asarray(result.audio_first)
+        t["denoise_s"] = time.perf_counter() - t0
+        t["total_s"] = sum(t.values())
+        return t
+
+    one_pass()  # compile + warm
+    runs = [one_pass() for _ in range(args.iters)]
+    med = {k: round(float(np.median([r[k] for r in runs])), 4) for k in runs[0]}
+    med.update(
+        tool="profile_v2a", config=args.config, duration=args.duration, steps=args.steps,
+        frames=n_frames, audio_sec_per_sec=round(args.duration / med["total_s"], 4),
+    )
+    print(json.dumps(med))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,10 +105,11 @@ def main():
     from foley_tpu.pipeline.generate import ModelBundle, generate_audio
 
     export_dir = os.path.join(workdir, "deploy")
-    loop.export_for_inference(state, export_dir)
+    loop.export_for_inference(state, export_dir, latent_stats=stats)
     (fm,) = HunyuanModelLoader().load_model(export_dir, precision="fp32", config=args.config)
     bundle = ModelBundle(mmdit_params=fm["params"], dac_params=dac_params,
-                         pipeline_cfg=cfg, compute_dtype=jnp.float32)
+                         pipeline_cfg=cfg, compute_dtype=jnp.float32,
+                         latent_stats=fm.get("latent_stats"))
     text = jnp.zeros((1, 8, cfg.model.condition_dim), jnp.float32)
     res = generate_audio(bundle, text, text, args.clip_seconds,
                          num_inference_steps=8, batch_size=1, seed=0)
