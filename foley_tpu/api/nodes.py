@@ -520,8 +520,14 @@ class HunyuanFoleySampler:
         if "synchformer" in deps:
             from foley_tpu.models import synchformer as sync_mod
 
-            segs = sync_segments(f25)
-            sync_feat = sync_mod.encode_segments(deps["synchformer"], segs)
+            enc = deps["synchformer"]
+            if getattr(enc, "preprocess", "pil") == "device":
+                # unique frames ship once (uint8) and the overlapping segmentation is an
+                # on-device gather — ~8x fewer host->device bytes than sync_segments
+                sync_feat = sync_mod.encode_frames_device(enc, f25)
+            else:
+                segs = sync_segments(f25)
+                sync_feat = sync_mod.encode_segments(enc, segs)
         return clip_feat, sync_feat
 
 

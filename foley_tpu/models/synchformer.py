@@ -327,10 +327,52 @@ def preprocess_frames(frames: np.ndarray, size: int = 224) -> np.ndarray:
     return (out - 0.5) / 0.5
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("size",))
+def preprocess_frames_device(frames: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """Device-side analog of ``preprocess_frames``: short-side antialiased-bicubic resize to
+    ``size`` + center crop, as one XLA program over the whole frame batch (the PIL loop costs
+    tens of host seconds per clip on a 1-core host — tools/profile_v2a.py). Accepts uint8
+    (preferred: 4x cheaper transfer, identical to PIL's quantization) or float [0,1]."""
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
+    t, h, w, c = frames.shape
+    scale = size / min(w, h)
+    nh, nw = max(size, round(h * scale)), max(size, round(w * scale))
+    x = jax.image.resize(frames, (t, nh, nw, c), method="bicubic")
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[:, top:top + size, left:left + size, :]
+    return (jnp.clip(x, 0.0, 1.0) - 0.5) / 0.5
+
+
+def encode_frames_device(encoder: "SynchformerEncoder", frames_25fps: np.ndarray,
+                         segment_size: int = 16, stride: int = 8) -> jnp.ndarray:
+    """Device-side 25 fps pipeline: ship each UNIQUE frame once as uint8, then resize,
+    window into overlapping 16-frame/stride-8 segments (a gather — the 50% overlap costs
+    no transfer), and encode. vs ``sync_segments`` + ``encode_segments``, host->device
+    bytes drop ~8x (float32 -> uint8, overlapping segments -> unique frames): the measured
+    tunnel-transfer bottleneck (tools/profile_v2a.py)."""
+    from foley_tpu.models.siglip2 import frames_to_u8
+
+    t = frames_25fps.shape[0]
+    num = max((t - segment_size) // stride + 1, 1)
+    dev = preprocess_frames_device(jnp.asarray(frames_to_u8(np.asarray(frames_25fps))),
+                                   encoder.cfg.img_size)
+    # window indices; short inputs repeat the last frame (sync_segments semantics)
+    idx = np.arange(num)[:, None] * stride + np.arange(segment_size)[None, :]
+    idx = np.minimum(idx, t - 1)
+    segs = jnp.take(dev, jnp.asarray(idx.reshape(-1)), axis=0)
+    segs = segs.reshape(num, segment_size, *dev.shape[1:])
+    return encoder.encode(segs)
+
+
 class SynchformerEncoder:
-    def __init__(self, params: Dict, cfg: SynchformerConfig):
+    def __init__(self, params: Dict, cfg: SynchformerConfig, preprocess: str = "pil"):
         self.params = params
         self.cfg = cfg
+        self.preprocess = preprocess  # "pil" (reference parity) | "device" (TPU resize)
         self._apply = jax.jit(apply, static_argnames=("cfg",))
 
     def encode(self, segments: np.ndarray) -> jnp.ndarray:
@@ -343,7 +385,15 @@ class SynchformerEncoder:
 def encode_segments(encoder: SynchformerEncoder, segments: np.ndarray) -> jnp.ndarray:
     """Preprocess raw [S, 16, H, W, C] float [0,1] segments and encode."""
     s, t = segments.shape[:2]
-    flat = preprocess_frames(segments.reshape(s * t, *segments.shape[2:]), encoder.cfg.img_size)
+    size = encoder.cfg.img_size
+    if getattr(encoder, "preprocess", "pil") == "device":
+        from foley_tpu.models.siglip2 import frames_to_u8
+
+        flat = preprocess_frames_device(
+            jnp.asarray(frames_to_u8(np.asarray(segments)).reshape(s * t, *segments.shape[2:])),
+            size)
+        return encoder.encode(flat.reshape(s, t, size, size, flat.shape[-1]))
+    flat = preprocess_frames(segments.reshape(s * t, *segments.shape[2:]), size)
     return encoder.encode(flat.reshape(s, t, *flat.shape[1:]))
 
 

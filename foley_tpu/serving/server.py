@@ -8,6 +8,7 @@ paused by XLA compilation), plus a stdlib HTTP server exposing:
 - ``GET /``                   -> minimal web UI (prompt box -> audio player; the reference
   CLI's --gradio mode analog, ``cli.py:88-96``)
 - ``GET /healthz``            -> {"status": "ok", "warm_buckets": [...]}
+- ``GET /metrics``            -> request counters + end-to-end latency percentiles
 - ``POST /generate``          -> WAV bytes (audio/wav) or JSON with base64 audio
   body: {"prompt": str, "negative_prompt": str, "duration": float, "steps": int,
          "cfg_scale": float, "sampler": str, "batch_size": int, "seed": int,
@@ -60,6 +61,60 @@ class FoleyService:
         self.default_steps = default_steps
         self._lock = threading.Lock()
         self.warm_buckets: List[Tuple[float, int, int]] = []
+        self._metrics_lock = threading.Lock()
+        self._requests_total = 0
+        self._failures_total = 0
+        self._in_flight = 0
+        self._latencies_ms: List[float] = []  # ring buffer, newest-last
+
+    # -- observability ----------------------------------------------------------
+    _LATENCY_WINDOW = 512
+
+    def _record_request(self, elapsed_ms: float, ok: bool) -> None:
+        with self._metrics_lock:
+            self._requests_total += 1
+            if not ok:
+                self._failures_total += 1
+            self._latencies_ms.append(elapsed_ms)
+            if len(self._latencies_ms) > self._LATENCY_WINDOW:
+                del self._latencies_ms[: -self._LATENCY_WINDOW]
+
+    def metrics(self) -> Dict:
+        """Counters + e2e latency percentiles over the last ``_LATENCY_WINDOW`` requests."""
+        with self._metrics_lock:
+            lat = list(self._latencies_ms)
+            out = {
+                "requests_total": self._requests_total,
+                "failures_total": self._failures_total,
+                "in_flight": self._in_flight,
+                "warm_buckets": list(self.warm_buckets),
+            }
+        if lat:
+            arr = np.sort(np.asarray(lat))
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(arr, 50)), 1),
+                "p95": round(float(np.percentile(arr, 95)), 1),
+                "max": round(float(arr[-1]), 1),
+                "window": len(arr),
+            }
+        return out
+
+    def timed_generate(self, request: Dict) -> Dict:
+        """``generate`` wrapped with the metrics instrumentation (the HTTP entry point)."""
+        import time as _time
+
+        with self._metrics_lock:
+            self._in_flight += 1
+        t0 = _time.monotonic()
+        ok = False
+        try:
+            result = self.generate(request)
+            ok = True
+            return result
+        finally:
+            with self._metrics_lock:
+                self._in_flight -= 1
+            self._record_request((_time.monotonic() - t0) * 1e3, ok)
 
     # -- warmup -----------------------------------------------------------------
     def warmup(self, steps: Optional[int] = None) -> None:
@@ -396,6 +451,8 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
             if self.path == "/healthz":
                 payload = {"status": "ok", "warm_buckets": service.warm_buckets}
                 self._send(200, json.dumps(payload).encode())
+            elif self.path == "/metrics":
+                self._send(200, json.dumps(service.metrics()).encode())
             elif self.path in ("/", "/index.html"):
                 self._send(200, _INDEX_HTML, ctype="text/html; charset=utf-8")
             else:
@@ -408,7 +465,7 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 request = json.loads(self.rfile.read(length) or b"{}")
-                out = service.generate(request)
+                out = service.timed_generate(request)
                 wav = _wav_bytes(out["waveform"], out["sample_rate"])
                 if request.get("response", "wav") == "json":
                     payload = {
@@ -443,6 +500,10 @@ def main(argv=None) -> int:
     p.add_argument("--enable_v2a", action="store_true",
                    help="load the SigLIP2/Synchformer encoders so requests may carry video "
                         "(frames_b64 / frames_path)")
+    p.add_argument("--v2a_preprocess", default="device", choices=["device", "pil"],
+                   help="frame resize/normalize on the TPU (fast; default) or via PIL "
+                        "(bit-parity with the reference's torchvision pipeline but tens of "
+                        "host-seconds per clip on weak hosts)")
     args = p.parse_args(argv)
 
     import jax
@@ -473,6 +534,8 @@ def main(argv=None) -> int:
                 "siglip2": siglip2.init_random(2, cfg.model.clip_dim),
                 "synchformer": synchformer.init_random(3, cfg.model.sync_feat_dim),
             }
+            for enc in video_encoders.values():
+                enc.preprocess = args.v2a_preprocess
     else:
         import os
 
@@ -490,6 +553,8 @@ def main(argv=None) -> int:
         video_encoders = None
         if args.enable_v2a:
             video_encoders = {"siglip2": manager.siglip2, "synchformer": manager.synchformer}
+            for enc in video_encoders.values():
+                enc.preprocess = args.v2a_preprocess
 
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}

@@ -261,3 +261,77 @@ def test_sync_preprocess_center_crop_geometry():
     edge_col = out[:, 2, 0]
     assert center_col.mean() > 0.5
     assert edge_col.mean() < -0.5
+
+
+def test_device_preprocess_matches_pil_siglip2():
+    """TPU-side preprocessing (jax.image antialiased bicubic, one XLA program) vs the
+    reference-parity PIL path — same geometry, bounded numeric drift (no uint8 quantization
+    and a Keys-cubic antialias kernel vs PIL's)."""
+    rng = np.random.default_rng(1)
+    frames = rng.random((3, 96, 128, 3)).astype(np.float32)
+    pil = siglip2.preprocess_frames(frames, size=32)
+    dev = np.asarray(siglip2.preprocess_frames_device(jnp.asarray(frames), size=32))
+    assert dev.shape == pil.shape == (3, 32, 32, 3)
+    assert -1.0 <= dev.min() and dev.max() <= 1.0
+    diff = np.abs(dev - pil)
+    assert diff.mean() < 0.02, diff.mean()
+    assert diff.max() < 0.12, diff.max()
+
+
+def test_device_preprocess_matches_pil_synchformer():
+    """Short-side resize + center crop on device: same crop geometry and bounded drift."""
+    rng = np.random.default_rng(2)
+    frames = rng.random((2, 100, 200, 3)).astype(np.float32)
+    pil = synchformer.preprocess_frames(frames, size=32)
+    dev = np.asarray(synchformer.preprocess_frames_device(jnp.asarray(frames), size=32))
+    assert dev.shape == pil.shape == (2, 32, 32, 3)
+    diff = np.abs(dev - pil)
+    assert diff.mean() < 0.03, diff.mean()
+    # crop geometry: a centered stripe stays centered through the device path too
+    frame = np.zeros((100, 200, 3), np.float32)
+    frame[:, 88:112] = 1.0
+    out = np.asarray(synchformer.preprocess_frames_device(jnp.asarray(frame[None]), size=32))[0]
+    assert out[:, 16, 0].mean() > 0.5 and out[:, 2, 0].mean() < -0.5
+
+
+def test_encoder_device_preprocess_mode_end_to_end():
+    """The encoders' preprocess='device' mode produces features close to the PIL mode."""
+    sig = siglip2.init_random(0, 16)
+    rng = np.random.default_rng(3)
+    frames = rng.random((2, 48, 64, 3)).astype(np.float32)
+    f_pil = np.asarray(sig.encode(frames))
+    sig.preprocess = "device"
+    f_dev = np.asarray(sig.encode(frames))
+    assert f_dev.shape == f_pil.shape
+    # tiny random ViT amplifies input differences; just require strong agreement
+    corr = np.corrcoef(f_dev.ravel(), f_pil.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    sync = synchformer.init_random(1, 16)
+    segs = rng.random((1, 16, 48, 64, 3)).astype(np.float32)
+    s_pil = np.asarray(synchformer.encode_segments(sync, segs))
+    sync.preprocess = "device"
+    s_dev = np.asarray(synchformer.encode_segments(sync, segs))
+    assert s_dev.shape == s_pil.shape
+    corr = np.corrcoef(s_dev.ravel(), s_pil.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_encode_frames_device_matches_segment_path():
+    """The unique-frame + on-device-gather pipeline equals the per-segment device path
+    (same resize math, ~8x fewer host->device bytes)."""
+    from foley_tpu.pipeline.features import sync_segments
+
+    sync = synchformer.init_random(1, 16)
+    sync.preprocess = "device"
+    rng = np.random.default_rng(4)
+    frames = rng.random((24, 48, 64, 3)).astype(np.float32)
+    a = np.asarray(synchformer.encode_segments(sync, sync_segments(frames)))
+    b = np.asarray(synchformer.encode_frames_device(sync, frames))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    # short input: last-frame padding semantics match sync_segments
+    short = frames[:10]
+    a = np.asarray(synchformer.encode_segments(sync, sync_segments(short)))
+    b = np.asarray(synchformer.encode_frames_device(sync, short))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

@@ -3,6 +3,7 @@
 import base64
 import json
 import threading
+import urllib.error
 import urllib.request
 import wave
 import io
@@ -208,6 +209,33 @@ def test_batching_service_splits_mismatched_buckets():
         outs = list(ex.map(svc.generate, reqs))
     for out in outs:
         assert out["waveform"].shape == (1, 48000)
+
+
+def test_metrics_endpoint_counts_and_latency(server):
+    """GET /metrics reflects served requests (counter, latency percentiles, no failures)."""
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps({"prompt": "tick", "duration": 1.0, "steps": 2, "seed": 7}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        r.read()
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests_total"] >= 1 and m["failures_total"] == 0 and m["in_flight"] == 0
+    assert m["latency_ms"]["p50"] > 0 and m["latency_ms"]["p95"] >= m["latency_ms"]["p50"]
+    # failures are counted too (V2A without encoders on a fresh service via HTTP handler)
+    bad = urllib.request.Request(
+        server + "/generate", data=b'{"duration": 1.0, "steps": "not-an-int"}',
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m2 = json.loads(r.read())
+    assert m2["failures_total"] == m["failures_total"] + 1
 
 
 def test_v2a_request_service_level(service):

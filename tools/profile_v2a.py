@@ -8,12 +8,16 @@ at 25 fps, then the XXL denoise+decode. Encoders are random-init at the REAL geo
 identical compute to checkpointed runs.
 
 Phases reported (median of --iters):
-  * preprocess_s : host-side PIL resize/normalize (the reference does this per-frame on CPU)
-  * siglip2_s    : 8 fps frame encoding on-device
-  * synchformer_s: 25 fps segment encoding on-device
+  * resample_s   : host fps resampling + 16-frame segmentation (numpy index work)
+  * siglip2_s    : 8 fps frames -> features (includes preprocessing in the chosen mode)
+  * synchformer_s: 25 fps segments -> features (ditto)
   * denoise_s    : CFG denoise scan + DAC decode (same program the bench times)
 
-Usage: python tools/profile_v2a.py [--duration 5] [--steps 50] [--config xxl]
+--preprocess pil measures the reference-parity host path (per-frame PIL bicubic — 34 s of
+host time for a 5 s clip on this 1-core box); --preprocess device (default) runs the
+antialiased-bicubic resize on the TPU as one XLA program per encoder.
+
+Usage: python tools/profile_v2a.py [--duration 5] [--steps 50] [--preprocess device|pil]
 Prints one JSON line for ROADMAP records.
 """
 
@@ -35,6 +39,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frame_rate", type=float, default=24.0)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--preprocess", default="device", choices=["device", "pil"])
     args = ap.parse_args()
 
     import jax
@@ -60,6 +65,7 @@ def main():
     )
     sig = siglip2.init_random(2, cfg.model.clip_dim)
     sync = synchformer.init_random(3, cfg.model.sync_feat_dim)
+    sig.preprocess = sync.preprocess = args.preprocess
 
     # synthetic clip at the requested frame rate (decode is out of scope — file IO, not TPU)
     rng = np.random.default_rng(0)
@@ -72,20 +78,21 @@ def main():
         t0 = time.perf_counter()
         f8 = resample_frames(frames, args.frame_rate, args.duration, cfg.siglip2_fps)
         f25 = resample_frames(frames, args.frame_rate, args.duration, cfg.synchformer_fps)
-        pre8 = siglip2.preprocess_frames(f8, sig.cfg.image_size)
-        segs = sync_segments(f25)
-        s, seg_t = segs.shape[:2]
-        pre25 = synchformer.preprocess_frames(
-            segs.reshape(s * seg_t, *segs.shape[2:]), sync.cfg.img_size
-        ).reshape(s, seg_t, sync.cfg.img_size, sync.cfg.img_size, 3)
-        t["preprocess_s"] = time.perf_counter() - t0
+        # host segmentation only exists in the pil path (device mode gathers on-chip and
+        # the [S,16,H,W,C] copy is ~620 MB of wasted host memcpy)
+        segs = sync_segments(f25) if args.preprocess == "pil" else None
+        t["resample_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        clip_feat = np.asarray(sig._apply(sig.params, jnp.asarray(pre8), sig.cfg, pooled=True))[None]
+        clip_feat = np.asarray(sig.encode(f8))  # preprocess (chosen mode) + ViT
         t["siglip2_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        sync_feat = np.asarray(sync.encode(pre25))
+        if args.preprocess == "device":
+            # unique-frame uint8 transfer + on-device segmentation gather
+            sync_feat = np.asarray(synchformer.encode_frames_device(sync, f25))
+        else:
+            sync_feat = np.asarray(synchformer.encode_segments(sync, segs))
         t["synchformer_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
