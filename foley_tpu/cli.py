@@ -278,21 +278,31 @@ def _desync_score(args, logger) -> int:
         scorer = load_desync_scorer(
             os.path.join(args.model_path or ".", "synchformer_state_dict.safetensors")
         )
-        frames, _ = read_video_frames(args.single_video, target_fps=25)
-        # extract the video's own audio track at 16 kHz via ffmpeg
-        import shutil
-        import subprocess
+        frames, _ = read_video_frames(args.single_video, target_fps=25,
+                                      dir_fps=args.frames_fps)
+        if args.audio_input:
+            # WAV provided directly (stdlib/native reader, resampled to the scorer's
+            # 16 kHz) — no ffmpeg needed; the only option when --single_video is a
+            # frames directory
+            from foley_tpu.io.audio import read_wav
 
-        ffmpeg = shutil.which("ffmpeg")
-        if ffmpeg is None:
-            print("error: ffmpeg required for audio extraction", file=sys.stderr)
-            return 1
-        raw = subprocess.run(
-            [ffmpeg, "-v", "quiet", "-i", args.single_video, "-ac", "1", "-ar", "16000",
-             "-f", "f32le", "pipe:1"],
-            capture_output=True, check=True,
-        ).stdout
-        waveform = np.frombuffer(raw, np.float32)
+            waveform, _ = read_wav(args.audio_input, target_sr=16000)
+        else:
+            # extract the video's own audio track at 16 kHz via ffmpeg
+            import shutil
+            import subprocess
+
+            ffmpeg = shutil.which("ffmpeg")
+            if ffmpeg is None:
+                print("error: ffmpeg required for audio extraction "
+                      "(or pass the audio as --audio_input x.wav)", file=sys.stderr)
+                return 1
+            raw = subprocess.run(
+                [ffmpeg, "-v", "quiet", "-i", args.single_video, "-ac", "1", "-ar", "16000",
+                 "-f", "f32le", "pipe:1"],
+                capture_output=True, check=True,
+            ).stdout
+            waveform = np.frombuffer(raw, np.float32)
         offset = scorer.score(frames, waveform)
         print(f"predicted AV offset: {float(offset[0]):+.2f} s")
         return 0

@@ -94,3 +94,32 @@ def test_cli_v2a_from_frames_dir(tmp_path):
         assert f.getnframes() == 48000
         pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
     assert np.abs(pcm).max() > 0
+
+
+def test_cli_desync_score_with_wav_and_frames_dir(tmp_path, monkeypatch, capsys):
+    """--desync_score works with zero ffmpeg: frames from a directory, audio from
+    --audio_input (stdlib WAV reader, resampled to the scorer's 16 kHz)."""
+    import foley_tpu.models.sync_scorer as scorer_mod
+    from foley_tpu.cli import main
+    from foley_tpu.io.audio import write_wav
+
+    d = str(tmp_path / "frames")
+    _write_frames(d, n=10)
+    wav_path = str(tmp_path / "a.wav")
+    write_wav(wav_path, np.sin(np.linspace(0, 700, 24000)).astype(np.float32), 48000)
+
+    seen = {}
+
+    class FakeScorer:
+        def score(self, frames, waveform):
+            seen["frames"] = frames.shape
+            seen["samples"] = waveform.shape[0]
+            return np.asarray([0.25])
+
+    monkeypatch.setattr(scorer_mod, "load_desync_scorer", lambda path: FakeScorer())
+    rc = main(["--desync_score", "--single_video", d, "--frames_fps", "16",
+               "--audio_input", wav_path])
+    assert rc == 0
+    assert "predicted AV offset: +0.25" in capsys.readouterr().out
+    assert seen["frames"][0] == 16           # 10 frames @16fps -> 25fps resample
+    assert seen["samples"] == 8000           # 0.5 s of 48k audio -> 16 kHz
