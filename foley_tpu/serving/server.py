@@ -51,10 +51,14 @@ class FoleyService:
         text_buckets: Sequence[int] = (77,),
         default_steps: int = 50,
         video_encoders: Optional[Dict] = None,
+        mesh=None,
     ):
         self.bundle = bundle
         self.text_encoder = text_encoder
         self.video_encoders = video_encoders
+        # multi-chip serving: a jax.sharding.Mesh activated around every device call; the
+        # bundle must already be sharded over it (parallel.inference.shard_bundle)
+        self.mesh = mesh
         self.durations = sorted(durations)
         self.batch_sizes = sorted(batch_sizes)
         self.text_buckets = sorted(text_buckets)
@@ -116,6 +120,11 @@ class FoleyService:
                 self._in_flight -= 1
             self._record_request((_time.monotonic() - t0) * 1e3, ok)
 
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
+
     # -- warmup -----------------------------------------------------------------
     def warmup(self, steps: Optional[int] = None) -> None:
         """Pre-compile every declared shape bucket (the CompileConfig node's runtime)."""
@@ -127,11 +136,12 @@ class FoleyService:
                 for tb in self.text_buckets:
                     logger.info(f"warmup: duration={d}s batch={b} text_bucket={tb}")
                     z = jnp.zeros((1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32)
-                    generate_audio(
-                        self.bundle, z, z, d,
-                        guidance_scale=4.5, num_inference_steps=steps,
-                        batch_size=b, seed=0, text_bucket=tb,
-                    )
+                    with self._mesh_ctx():
+                        generate_audio(
+                            self.bundle, z, z, d,
+                            guidance_scale=4.5, num_inference_steps=steps,
+                            batch_size=b, seed=0, text_bucket=tb,
+                        )
                     self.warm_buckets.append((d, b, tb))
         if self.video_encoders:
             # V2A encoder programs depend only on duration (frame counts are fps-derived and
@@ -210,7 +220,7 @@ class FoleyService:
             text = uncond = jnp.zeros(
                 (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
             )
-        with self._lock:
+        with self._lock, self._mesh_ctx():
             result = generate_audio(
                 self.bundle, text, uncond, bucket_duration,
                 clip_feat=clip_feat,
@@ -381,7 +391,7 @@ class BatchingFoleyService(FoleyService):
 
         duration, steps, sampler, cfg_scale = bucket
         text_b, uncond_b, seeds = prepared
-        with self._lock:
+        with self._lock, self._mesh_ctx():
             result = generate_audio_multi(
                 self.bundle, text_b, uncond_b, duration, seeds,
                 guidance_scale=cfg_scale, num_inference_steps=steps, sampler=sampler,
@@ -504,6 +514,11 @@ def main(argv=None) -> int:
                    help="frame resize/normalize on the TPU (fast; default) or via PIL "
                         "(bit-parity with the reference's torchvision pipeline but tens of "
                         "host-seconds per clip on weak hosts)")
+    p.add_argument("--mesh", default="",
+                   help='multi-chip serving over a ("data","model") mesh, e.g. '
+                        '"data=4,model=2" on a v5p-8: MMDiT shards per the Megatron '
+                        "col/row rules, DAC replicates, and every request runs under the "
+                        "mesh (XLA inserts the ICI collectives). Empty = single chip.")
     args = p.parse_args(argv)
 
     import jax
@@ -556,12 +571,23 @@ def main(argv=None) -> int:
             for enc in video_encoders.values():
                 enc.preprocess = args.v2a_preprocess
 
+    mesh = None
+    if args.mesh:
+        from foley_tpu.parallel.inference import shard_bundle
+        from foley_tpu.parallel.mesh import make_mesh
+
+        spec = dict(kv.split("=", 1) for kv in args.mesh.split(","))
+        mesh = make_mesh(data=int(spec["data"]) if "data" in spec else None,
+                         model=int(spec["model"]) if "model" in spec else None)
+        bundle = shard_bundle(bundle, mesh)
+
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}
     service = service_cls(
         bundle, text_encoder,
         durations=tuple(float(x) for x in args.durations.split(",")),
         video_encoders=video_encoders,
+        mesh=mesh,
         **extra,
     )
     service.warmup(steps=args.warmup_steps)

@@ -302,6 +302,24 @@ def test_batching_service_serves_v2a_directly(service):
     assert out["waveform"].shape == (1, 48000)
 
 
+def test_sharded_serving_over_virtual_mesh(service):
+    """Multi-chip serving: the bundle sharded over a ('data','model') mesh serves requests
+    with outputs matching the single-chip service bit-for-bit (same program, computation
+    follows sharding; 8-virtual-device CPU mesh)."""
+    from foley_tpu.parallel.inference import shard_bundle
+    from foley_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = FoleyService(shard_bundle(service.bundle, mesh), durations=(1.0,),
+                           text_buckets=(16,), default_steps=2, mesh=mesh)
+    req = {"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 11}
+    got = sharded.generate(req)
+    ref = service.generate(req)
+    assert got["waveform"].shape == ref["waveform"].shape == (1, 48000)
+    np.testing.assert_allclose(np.asarray(got["waveform"]), np.asarray(ref["waveform"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_cli_gradio_flag(monkeypatch):
     """--gradio hands off to the serving stack with mapped args (reference cli.py:88-96)."""
     import foley_tpu.serving.server as srv
