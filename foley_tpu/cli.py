@@ -50,7 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--desync_score", action="store_true",
                    help="Score AV sync of --single_video's own audio (Synchformer offset head)")
     p.add_argument("--audio_input", type=str, default=None,
-                   help="Edit an existing WAV toward the prompt (SDEdit-style partial denoise)")
+                   help="Edit an existing WAV toward the prompt (SDEdit-style partial "
+                        "denoise); with --desync_score, the audio track to score against "
+                        "(no ffmpeg needed; required when --single_video is a frames dir)")
+    p.add_argument("--v2a_preprocess", type=str, default="device",
+                   choices=["device", "pil"],
+                   help="V2A frame resize/normalize on the TPU (fast; default) or via PIL "
+                        "(bit-parity with the reference's torchvision pipeline, but tens "
+                        "of host-seconds per clip on weak hosts)")
     p.add_argument("--strength", type=float, default=0.6,
                    help="Edit strength in (0, 1]: fraction of the schedule to re-run")
     p.add_argument("--allow_unconditioned", action="store_true",
@@ -144,6 +151,10 @@ def main(argv=None) -> int:
                 siglip2_model=siglip_dir if os.path.isdir(siglip_dir) else "",
                 clap_model=clap_dir if os.path.isdir(clap_dir) else "",
             )
+
+        for key in ("siglip2", "synchformer"):
+            if key in dependencies:
+                dependencies[key].preprocess = args.v2a_preprocess
 
         if args.audio_input:
             return _edit_audio(args, foley_model, dependencies, logger)

@@ -15,12 +15,14 @@ torchvision loop.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from foley_tpu.io.images import frames_to_u8
 from foley_tpu.ops.nn import apply_dense
 from foley_tpu.ops.norms import layer_norm
 
@@ -254,17 +256,6 @@ def preprocess_frames(frames: np.ndarray, size: int = 512) -> np.ndarray:
         img = img.resize((size, size), Image.BICUBIC)
         out[i] = np.asarray(img, np.float32) / 255.0
     return (out - 0.5) / 0.5
-
-
-import functools as _functools
-
-
-def frames_to_u8(frames: np.ndarray) -> np.ndarray:
-    """Host-side [0,1] float -> uint8, exactly the PIL path's quantization. Shipping uint8
-    quarters the host->device bytes — the dominant V2A cost on tunneled runtimes."""
-    if frames.dtype == np.uint8:
-        return frames
-    return (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 @_functools.partial(jax.jit, static_argnames=("size",))

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from foley_tpu.configs import SynchformerConfig
+from foley_tpu.io.images import frames_to_u8
 from foley_tpu.ops.nn import apply_dense
 from foley_tpu.ops.norms import layer_norm
 
@@ -354,8 +355,6 @@ def encode_frames_device(encoder: "SynchformerEncoder", frames_25fps: np.ndarray
     no transfer), and encode. vs ``sync_segments`` + ``encode_segments``, host->device
     bytes drop ~8x (float32 -> uint8, overlapping segments -> unique frames): the measured
     tunnel-transfer bottleneck (tools/profile_v2a.py)."""
-    from foley_tpu.models.siglip2 import frames_to_u8
-
     t = frames_25fps.shape[0]
     num = max((t - segment_size) // stride + 1, 1)
     dev = preprocess_frames_device(jnp.asarray(frames_to_u8(np.asarray(frames_25fps))),
@@ -387,8 +386,6 @@ def encode_segments(encoder: SynchformerEncoder, segments: np.ndarray) -> jnp.nd
     s, t = segments.shape[:2]
     size = encoder.cfg.img_size
     if getattr(encoder, "preprocess", "pil") == "device":
-        from foley_tpu.models.siglip2 import frames_to_u8
-
         flat = preprocess_frames_device(
             jnp.asarray(frames_to_u8(np.asarray(segments)).reshape(s * t, *segments.shape[2:])),
             size)

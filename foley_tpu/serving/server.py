@@ -52,10 +52,14 @@ class FoleyService:
         default_steps: int = 50,
         video_encoders: Optional[Dict] = None,
         mesh=None,
+        v2a_warmup_hw: Optional[Tuple[int, int]] = None,
     ):
         self.bundle = bundle
         self.text_encoder = text_encoder
         self.video_encoders = video_encoders
+        # (H, W) to warm the V2A device-resize programs at; those programs are
+        # shape-specialized, so set this to the production camera geometry
+        self.v2a_warmup_hw = v2a_warmup_hw
         # multi-chip serving: a jax.sharding.Mesh activated around every device call; the
         # bundle must already be sharded over it (parallel.inference.shard_bundle)
         self.mesh = mesh
@@ -103,22 +107,20 @@ class FoleyService:
             }
         return out
 
-    def timed_generate(self, request: Dict) -> Dict:
-        """``generate`` wrapped with the metrics instrumentation (the HTTP entry point)."""
+    def _begin_request(self) -> float:
+        """Start metrics accounting for one HTTP request (returns the start time)."""
         import time as _time
 
         with self._metrics_lock:
             self._in_flight += 1
-        t0 = _time.monotonic()
-        ok = False
-        try:
-            result = self.generate(request)
-            ok = True
-            return result
-        finally:
-            with self._metrics_lock:
-                self._in_flight -= 1
-            self._record_request((_time.monotonic() - t0) * 1e3, ok)
+        return _time.monotonic()
+
+    def _end_request(self, t0: float, ok: bool) -> None:
+        import time as _time
+
+        with self._metrics_lock:
+            self._in_flight -= 1
+        self._record_request((_time.monotonic() - t0) * 1e3, ok)
 
     def _mesh_ctx(self):
         import contextlib
@@ -144,14 +146,18 @@ class FoleyService:
                         )
                     self.warm_buckets.append((d, b, tb))
         if self.video_encoders:
-            # V2A encoder programs depend only on duration (frame counts are fps-derived and
-            # preprocessing resizes to the encoders' fixed input size) — compile them now so
+            # The ViT programs depend only on duration (frame counts are fps-derived and
+            # preprocessing outputs the encoders' fixed input size) — compile them now so
             # the first video request isn't paused by SigLIP2/Synchformer compilation.
+            # The device-resize programs are additionally specialized on the SOURCE frame
+            # geometry: pass v2a_warmup_hw (the production camera resolution) to pre-compile
+            # those too; other resolutions compile a small resize program on first sight.
             from foley_tpu.api.nodes import HunyuanFoleySampler
 
+            h, w = self.v2a_warmup_hw or (32, 32)
             for d in self.durations:
-                logger.info(f"warmup: v2a encoders duration={d}s")
-                frames = np.zeros((max(int(round(d * 16.0)), 1), 32, 32, 3), np.float32)
+                logger.info(f"warmup: v2a encoders duration={d}s source {h}x{w}")
+                frames = np.zeros((max(int(round(d * 16.0)), 1), h, w, 3), np.float32)
                 HunyuanFoleySampler._encode_video(
                     self.video_encoders, frames, 16.0, d, self.bundle.pipeline_cfg
                 )
@@ -472,23 +478,32 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
             if self.path != "/generate":
                 self._send(404, b'{"error": "not found"}')
                 return
+            # metrics accounting spans parse + generate + WAV framing (so malformed
+            # payloads count as failures too) and completes BEFORE the response is sent:
+            # by the time a client has its answer, /metrics already reflects it
+            t0 = service._begin_request()
+            ok = False
+            body, ctype = b"", "application/json"
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 request = json.loads(self.rfile.read(length) or b"{}")
-                out = service.timed_generate(request)
+                out = service.generate(request)
                 wav = _wav_bytes(out["waveform"], out["sample_rate"])
                 if request.get("response", "wav") == "json":
-                    payload = {
+                    body = json.dumps({
                         "audio_base64": base64.b64encode(wav).decode(),
                         "sample_rate": out["sample_rate"],
                         "timings": out["timings"],
-                    }
-                    self._send(200, json.dumps(payload).encode())
+                    }).encode()
                 else:
-                    self._send(200, wav, ctype="audio/wav")
+                    body, ctype = wav, "audio/wav"
+                ok = True
             except Exception as e:  # noqa: BLE001 — surface errors to the client
                 logger.warning(f"generate failed: {e}")
-                self._send(500, json.dumps({"error": str(e)}).encode())
+                body = json.dumps({"error": str(e)}).encode()
+            finally:
+                service._end_request(t0, ok)
+            self._send(200 if ok else 500, body, ctype=ctype)
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -514,6 +529,10 @@ def main(argv=None) -> int:
                    help="frame resize/normalize on the TPU (fast; default) or via PIL "
                         "(bit-parity with the reference's torchvision pipeline but tens of "
                         "host-seconds per clip on weak hosts)")
+    p.add_argument("--v2a_warmup_hw", default="",
+                   help='source frame geometry "HxW" (e.g. 360x640) to pre-compile the '
+                        "V2A device-resize programs at — set to the production camera "
+                        "resolution so the first video request is fully warm")
     p.add_argument("--mesh", default="",
                    help='multi-chip serving over a ("data","model") mesh, e.g. '
                         '"data=4,model=2" on a v5p-8: MMDiT shards per the Megatron '
@@ -549,8 +568,6 @@ def main(argv=None) -> int:
                 "siglip2": siglip2.init_random(2, cfg.model.clip_dim),
                 "synchformer": synchformer.init_random(3, cfg.model.sync_feat_dim),
             }
-            for enc in video_encoders.values():
-                enc.preprocess = args.v2a_preprocess
     else:
         import os
 
@@ -568,18 +585,32 @@ def main(argv=None) -> int:
         video_encoders = None
         if args.enable_v2a:
             video_encoders = {"siglip2": manager.siglip2, "synchformer": manager.synchformer}
-            for enc in video_encoders.values():
-                enc.preprocess = args.v2a_preprocess
+
+    if video_encoders:
+        for enc in video_encoders.values():
+            enc.preprocess = args.v2a_preprocess
 
     mesh = None
     if args.mesh:
         from foley_tpu.parallel.inference import shard_bundle
         from foley_tpu.parallel.mesh import make_mesh
 
-        spec = dict(kv.split("=", 1) for kv in args.mesh.split(","))
-        mesh = make_mesh(data=int(spec["data"]) if "data" in spec else None,
-                         model=int(spec["model"]) if "model" in spec else None)
+        spec = {}
+        for kv in args.mesh.split(","):
+            key, _, val = kv.partition("=")
+            if key.strip() not in ("data", "model") or not val.strip().isdigit():
+                p.error(f"--mesh: bad entry {kv!r} (expected e.g. \"data=4,model=2\")")
+            spec[key.strip()] = int(val)
+        mesh = make_mesh(data=spec.get("data"), model=spec.get("model"))
         bundle = shard_bundle(bundle, mesh)
+
+    warmup_hw = None
+    if args.v2a_warmup_hw:
+        try:
+            h, w = (int(x) for x in args.v2a_warmup_hw.lower().split("x"))
+            warmup_hw = (h, w)
+        except ValueError:
+            p.error(f'--v2a_warmup_hw: bad geometry {args.v2a_warmup_hw!r} (expected "HxW")')
 
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}
@@ -588,6 +619,7 @@ def main(argv=None) -> int:
         durations=tuple(float(x) for x in args.durations.split(",")),
         video_encoders=video_encoders,
         mesh=mesh,
+        v2a_warmup_hw=warmup_hw,
         **extra,
     )
     service.warmup(steps=args.warmup_steps)
