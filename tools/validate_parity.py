@@ -27,7 +27,34 @@ def read_wav(path: str) -> tuple:
     return pcm.astype(np.float32) / 32767.0, sr
 
 
+def self_test() -> int:
+    """Prove the gate end-to-end without checkpoints: two same-seed tiny generations must
+    score corr=1.0/PASS, and a different-seed pair must score well below threshold/FAIL.
+    (The real run — ours vs the torch reference with released weights — still needs
+    checkpoints; this validates the tooling so that run is turnkey.)"""
+    import tempfile
+
+    from foley_tpu.cli import main as cli_main
+
+    tmp = tempfile.mkdtemp(prefix="parity_selftest_")
+    paths = [os.path.join(tmp, n) for n in ("a.wav", "b.wav", "c.wav")]
+    for path, seed in zip(paths, (7, 7, 8)):
+        rc = cli_main(["--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
+                       "--num_inference_steps", "4", "--precision", "fp32",
+                       "--seed", str(seed), "--output", path])
+        assert rc == 0, f"generation failed for {path}"
+    same = main([paths[0], paths[1]])
+    diff = main([paths[0], paths[2]])
+    ok = same == 0 and diff == 1
+    print(f"self_test: same-seed {'PASS' if same == 0 else 'FAIL'}, "
+          f"diff-seed {'correctly rejected' if diff == 1 else 'WRONGLY PASSED'} "
+          f"-> {'OK' if ok else 'BROKEN'}")
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
+    if argv is None and len(sys.argv) > 1 and sys.argv[1] == "--self_test":
+        return self_test()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("ours")
     p.add_argument("reference")
