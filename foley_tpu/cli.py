@@ -203,7 +203,19 @@ def main(argv=None) -> int:
         return 1
     except Exception as e:
         print(f"error: {e}", file=sys.stderr)
+        if _looks_like_oom(e):
+            print("hint: the model + workspace exceeded device memory. Long durations at "
+                  "bf16 can exceed a 16 GiB chip (measured: 60 s XXL overshoots by ~340 MB)"
+                  " — retry with --quantization fp8_e4m3fn (halves weight memory, "
+                  "~indistinguishable audio) or a HunyuanBlockSwap config.",
+                  file=sys.stderr)
         return 1
+
+
+def _looks_like_oom(e: Exception) -> bool:
+    msg = str(e).lower()
+    return any(s in msg for s in ("resource_exhausted", "ran out of memory",
+                                  "exceeded hbm", "out of memory in memory space"))
 
 
 def _edit_audio(args, foley_model, dependencies, logger) -> int:

@@ -123,3 +123,21 @@ def test_cli_desync_score_with_wav_and_frames_dir(tmp_path, monkeypatch, capsys)
     assert "predicted AV offset: +0.25" in capsys.readouterr().out
     assert seen["frames"][0] == 16           # 10 frames @16fps -> 25fps resample
     assert seen["samples"] == 8000           # 0.5 s of 48k audio -> 16 kHz
+
+
+def test_cli_oom_hint(tmp_path, monkeypatch, capsys):
+    """Device-OOM failures print the fp8/block-swap recipe instead of only a raw XLA error
+    (measured: 60 s XXL at bf16 overshoots a 16 GiB chip)."""
+    import foley_tpu.api.nodes as nodes_mod
+    from foley_tpu.cli import main
+
+    def boom(self, *a, **k):
+        raise RuntimeError("INTERNAL: ... Ran out of memory in memory space hbm. "
+                           "Used 16.08G of 15.75G hbm.")
+
+    monkeypatch.setattr(nodes_mod.HunyuanFoleySampler, "generate_audio", boom)
+    rc = main(["--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
+               "--num_inference_steps", "2", "--precision", "fp32",
+               "--output", str(tmp_path / "o.wav")])
+    err = capsys.readouterr().err
+    assert rc == 1 and "fp8_e4m3fn" in err and "error:" in err
