@@ -540,6 +540,29 @@ def main(argv=None) -> int:
                         "mesh (XLA inserts the ICI collectives). Empty = single chip.")
     args = p.parse_args(argv)
 
+    # validate pure-string args BEFORE the minutes-long checkpoint load
+    mesh_spec = {}
+    for kv in filter(None, args.mesh.split(",")) if args.mesh else ():
+        key, _, val = kv.partition("=")
+        key = key.strip()
+        if key not in ("data", "model") or not val.strip().isdigit() or int(val) < 1 \
+                or key in mesh_spec:
+            p.error(f"--mesh: bad entry {kv!r} (expected e.g. \"data=4,model=2\", "
+                    "positive sizes, no duplicate axes)")
+        mesh_spec[key] = int(val)
+    warmup_hw = None
+    if args.v2a_warmup_hw:
+        parts = args.v2a_warmup_hw.lower().split("x")
+        if len(parts) != 2 or not all(x.isdigit() and int(x) > 0 for x in parts):
+            p.error(f'--v2a_warmup_hw: bad geometry {args.v2a_warmup_hw!r} '
+                    '(expected "HxW", positive integers)')
+        warmup_hw = (int(parts[0]), int(parts[1]))
+    if warmup_hw and args.v2a_preprocess != "device":
+        # PIL preprocessing outputs a fixed size — no program depends on the source
+        # geometry, and the host-side PIL loop at camera resolution costs tens of seconds
+        logger.warning("--v2a_warmup_hw has no effect with --v2a_preprocess pil; ignoring")
+        warmup_hw = None
+
     import jax
 
     from foley_tpu.api.nodes import HunyuanModelLoader
@@ -591,26 +614,12 @@ def main(argv=None) -> int:
             enc.preprocess = args.v2a_preprocess
 
     mesh = None
-    if args.mesh:
+    if mesh_spec:
         from foley_tpu.parallel.inference import shard_bundle
         from foley_tpu.parallel.mesh import make_mesh
 
-        spec = {}
-        for kv in args.mesh.split(","):
-            key, _, val = kv.partition("=")
-            if key.strip() not in ("data", "model") or not val.strip().isdigit():
-                p.error(f"--mesh: bad entry {kv!r} (expected e.g. \"data=4,model=2\")")
-            spec[key.strip()] = int(val)
-        mesh = make_mesh(data=spec.get("data"), model=spec.get("model"))
+        mesh = make_mesh(data=mesh_spec.get("data"), model=mesh_spec.get("model"))
         bundle = shard_bundle(bundle, mesh)
-
-    warmup_hw = None
-    if args.v2a_warmup_hw:
-        try:
-            h, w = (int(x) for x in args.v2a_warmup_hw.lower().split("x"))
-            warmup_hw = (h, w)
-        except ValueError:
-            p.error(f'--v2a_warmup_hw: bad geometry {args.v2a_warmup_hw!r} (expected "HxW")')
 
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}

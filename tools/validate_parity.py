@@ -36,15 +36,15 @@ def self_test() -> int:
 
     from foley_tpu.cli import main as cli_main
 
-    tmp = tempfile.mkdtemp(prefix="parity_selftest_")
-    paths = [os.path.join(tmp, n) for n in ("a.wav", "b.wav", "c.wav")]
-    for path, seed in zip(paths, (7, 7, 8)):
-        rc = cli_main(["--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
-                       "--num_inference_steps", "4", "--precision", "fp32",
-                       "--seed", str(seed), "--output", path])
-        assert rc == 0, f"generation failed for {path}"
-    same = main([paths[0], paths[1]])
-    diff = main([paths[0], paths[2]])
+    with tempfile.TemporaryDirectory(prefix="parity_selftest_") as tmp:
+        paths = [os.path.join(tmp, n) for n in ("a.wav", "b.wav", "c.wav")]
+        for path, seed in zip(paths, (7, 7, 8)):
+            rc = cli_main(["--random_init", "tiny", "--single_prompt", "x", "--duration",
+                           "1", "--num_inference_steps", "4", "--precision", "fp32",
+                           "--seed", str(seed), "--output", path])
+            assert rc == 0, f"generation failed for {path}"
+        same = main([paths[0], paths[1]])
+        diff = main([paths[0], paths[2]])
     ok = same == 0 and diff == 1
     print(f"self_test: same-seed {'PASS' if same == 0 else 'FAIL'}, "
           f"diff-seed {'correctly rejected' if diff == 1 else 'WRONGLY PASSED'} "
@@ -53,13 +53,17 @@ def self_test() -> int:
 
 
 def main(argv=None) -> int:
-    if argv is None and len(sys.argv) > 1 and sys.argv[1] == "--self_test":
-        return self_test()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("ours")
-    p.add_argument("reference")
+    p.add_argument("ours", nargs="?")
+    p.add_argument("reference", nargs="?")
     p.add_argument("--threshold", type=float, default=0.99)
+    p.add_argument("--self_test", action="store_true",
+                   help="prove the gate end-to-end with checkpoint-free tiny generations")
     args = p.parse_args(argv)
+    if args.self_test:
+        return self_test()
+    if not args.ours or not args.reference:
+        p.error("ours and reference WAV paths are required (or pass --self_test)")
 
     from foley_tpu.utils.metrics import snr_db, spectral_correlation
 
