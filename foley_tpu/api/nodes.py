@@ -174,6 +174,11 @@ class HunyuanDependenciesLoader:
                 "siglip2_model": ("STRING", {"default": ""}),
                 "clap_model": ("STRING", {"default": ""}),
                 "clap_tokenizer": ("STRING", {"default": ""}),
+                "video_preprocess": (["device", "pil"], {
+                    "default": "device",
+                    "tooltip": "V2A frame resize on the TPU (fast) or via PIL (bit-parity "
+                               "with the reference's torchvision pipeline; tens of "
+                               "host-seconds per clip on weak hosts)"}),
             },
         }
 
@@ -183,7 +188,8 @@ class HunyuanDependenciesLoader:
 
     def load_dependencies(self, vae_model: str, synchformer_model: Optional[str] = None,
                           precision: str = "fp16", siglip2_model: str = "",
-                          clap_model: str = "", clap_tokenizer: str = ""):
+                          clap_model: str = "", clap_tokenizer: str = "",
+                          video_preprocess: str = "device"):
         from foley_tpu.configs import DACConfig
 
         dac_cfg = DACConfig()
@@ -208,6 +214,9 @@ class HunyuanDependenciesLoader:
 
             deps["clap"] = clap_mod.load(clap_model, tokenizer_path=clap_tokenizer or None)
             logger.info(f"CLAP loaded from {clap_model}")
+        for key in ("siglip2", "synchformer"):
+            if key in deps:
+                deps[key].preprocess = video_preprocess
         return (deps,)
 
 
