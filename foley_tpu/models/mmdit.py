@@ -39,7 +39,7 @@ from foley_tpu.core.dtypes import DTypePolicy
 from foley_tpu.ops.activations import get_activation, swiglu
 from foley_tpu.ops.attention import sdpa
 from foley_tpu.ops.interp import nearest_exact_resize
-from foley_tpu.ops.modulate import apply_gate, modulate
+from foley_tpu.ops.modulate import apply_gate, modulate, modulate_ref
 from foley_tpu.ops.nn import (
     apply_conv1d,
     apply_dense,
@@ -335,11 +335,11 @@ def triple_block_apply(
      v3_shift, v3_scale, v3_gate) = jnp.split(v_mod, 9, axis=-1)
 
     # ---- 1. joint self-attention over [v_cond; audio] ----
-    a_in = modulate(layer_norm(audio), a1_shift, a1_scale)
+    a_in = modulate_ref(layer_norm(audio), a1_shift, a1_scale)
     a_qkv = apply_dense(params["audio_self_attn_qkv"], a_in)
     a_q, a_k, a_v = (_split_heads(u, nh) for u in jnp.split(a_qkv, 3, axis=-1))
 
-    v_in = modulate(layer_norm(v_cond), v1_shift, v1_scale)
+    v_in = modulate_ref(layer_norm(v_cond), v1_shift, v1_scale)
     v_qkv = apply_dense(params["v_cond_attn_qkv"], v_in)
     v_q, v_k, v_v = (_split_heads(u, nh) for u in jnp.split(v_qkv, 3, axis=-1))
 
@@ -439,8 +439,8 @@ def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, 
     v2_shift, v2_scale, v2_gate, v3_shift, v3_scale, v3_gate = v_mods
 
     # ---- 2. cross-attention: [v_cond; audio] queries vs text k/v ----
-    a_in = modulate(layer_norm(audio), a2_shift, a2_scale)
-    v_in = modulate(layer_norm(v_cond), v2_shift, v2_scale)
+    a_in = modulate_ref(layer_norm(audio), a2_shift, a2_scale)
+    v_in = modulate_ref(layer_norm(v_cond), v2_shift, v2_scale)
     a_q = _qk_norm(params["audio_cross_q_norm"], _split_heads(apply_dense(params["audio_cross_q"], a_in), nh), eps)
     v_q = _qk_norm(params["v_cond_cross_q_norm"], _split_heads(apply_dense(params["v_cond_cross_q"], v_in), nh), eps)
     # text k/v are timestep-invariant: take the per-generation precompute when provided
@@ -459,11 +459,11 @@ def _triple_block_tail(params, audio, cond, v_cond, ropes, cfg, a_mods, v_mods, 
 
     # ---- 3. MLPs ----
     audio = audio + apply_gate(
-        apply_mlp(params["audio_mlp"], modulate(layer_norm(audio), a3_shift, a3_scale), cfg.mlp_act_type),
+        apply_mlp(params["audio_mlp"], modulate_ref(layer_norm(audio), a3_shift, a3_scale), cfg.mlp_act_type),
         a3_gate,
     )
     v_cond = v_cond + apply_gate(
-        apply_mlp(params["v_cond_mlp"], modulate(layer_norm(v_cond), v3_shift, v3_scale), cfg.mlp_act_type),
+        apply_mlp(params["v_cond_mlp"], modulate_ref(layer_norm(v_cond), v3_shift, v3_scale), cfg.mlp_act_type),
         v3_gate,
     )
     return audio, v_cond
@@ -593,7 +593,7 @@ def apply_final_layer(params: Dict, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarr
     """FinalLayer1D (reference ``mlp_layers.py:78-101``)."""
     mod = apply_dense(params["adaLN"], jax.nn.silu(c))
     shift, scale = jnp.split(mod, 2, axis=-1)
-    x = modulate(layer_norm(x), shift, scale)
+    x = modulate_ref(layer_norm(x), shift, scale)
     return apply_dense(params["linear"], x)
 
 

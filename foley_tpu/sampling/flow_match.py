@@ -60,6 +60,17 @@ def get_timesteps(sigmas: jnp.ndarray, num_train_timesteps: int = 1000) -> jnp.n
     return (sigmas[:-1] * num_train_timesteps).astype(jnp.float32)
 
 
+def get_timesteps_full(sigmas: jnp.ndarray, num_train_timesteps: int = 1000) -> jnp.ndarray:
+    """All steps+1 boundary timesteps: sigmas * 1000 (reference ``timesteps_full``, :161)."""
+    return (sigmas * num_train_timesteps).astype(jnp.float32)
+
+
+def scale_model_input(sample: jnp.ndarray, timestep=None) -> jnp.ndarray:
+    """Identity, kept for scheduler API parity (reference :195-196)."""
+    del timestep
+    return sample
+
+
 class SolverState(NamedTuple):
     """Fixed-shape carry for multi-stage solvers.
 

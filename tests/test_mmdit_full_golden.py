@@ -182,9 +182,11 @@ def torch_forward(sd, x, t, cond_in, clip_feat, sync_feat):
     mlp = conv3(p + "linear2.w2", F.silu(conv3(p + "linear2.w1", xn)) * conv3(p + "linear2.w3", xn))
     xx = xx + mlp * g_mlp
 
-    # ---- final layer: adaLN from vec_tok (add_sync_feat_to_audio path) ----
-    shift, scale = lin("final_layer.adaLN_modulation.1", F.silu(vec_tok)).chunk(2, -1)
-    out = F.layer_norm(xx, (H,), eps=1e-6) * (1 + scale) + shift
+    # ---- final layer (add_sync_feat_to_audio path) ----
+    # The reference's modulate() DROPS per-token (3-D) shift/scale (modulate_layers.py:20-22),
+    # and vec_tok is per-token here, so the final adaLN modulation is a no-op: norm -> linear.
+    # Verified against the literal reference code by test_reference_oracle_mmdit.
+    out = F.layer_norm(xx, (H,), eps=1e-6)
     return lin("final_layer.linear", out)
 
 

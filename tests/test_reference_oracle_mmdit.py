@@ -1,0 +1,105 @@
+"""Golden test: our MMDiT forward vs the reference's LITERAL HunyuanVideoFoley.
+
+test_mmdit_full_golden pins against a hand transcription; this instantiates the reference's
+actual ``hifi_foley.py`` model (imported from /root/reference via tests/reference_oracle) at
+a tiny config, converts its real ``state_dict()`` through ``convert_mmdit_state_dict``, and
+asserts the full forwards agree. Any transcription misreading — ours or the test's — shows
+up here. Reference: ``hunyuanvideo_foley/models/hifi_foley.py:392-940``.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from foley_tpu.configs import MMDiTConfig
+from foley_tpu.io.convert import convert_mmdit_state_dict
+from foley_tpu.models import mmdit
+from tests.reference_oracle import import_reference, make_model_config
+
+hifi = import_reference("hunyuanvideo_foley.models.hifi_foley")
+
+CFG = MMDiTConfig(
+    depth_triple_blocks=2, depth_single_blocks=2, hidden_size=32, num_heads=2,
+    condition_dim=12, clip_dim=12, sync_feat_dim=12, audio_vae_latent_dim=8,
+    mlp_ratio=2.0, text_length=16,
+    # conv_mlp_multiple_of stays at the reference's 256 default (mlp_layers.py:141-142)
+)
+
+
+def _build_reference_model():
+    torch.manual_seed(7)
+    model_config = make_model_config(
+        depth_triple_blocks=CFG.depth_triple_blocks,
+        depth_single_blocks=CFG.depth_single_blocks,
+        hidden_size=CFG.hidden_size,
+        num_heads=CFG.num_heads,
+        mlp_ratio=CFG.mlp_ratio,
+        mlp_act_type="gelu_tanh",
+        qkv_bias=True,
+        qk_norm=True,
+        qk_norm_type="rms",
+        attn_mode="torch",
+        interleaved_audio_visual_rope=True,
+        sync_modulation=False,
+        add_sync_feat_to_audio=True,
+        use_attention_mask=False,
+        condition_projection="linear",
+        condition_dim=CFG.condition_dim,
+        clip_dim=CFG.clip_dim,
+        sync_feat_dim=CFG.sync_feat_dim,
+        audio_vae_latent_dim=CFG.audio_vae_latent_dim,
+        patch_size=1,
+        rope_dim_list=None,
+        rope_theta=10000,
+        text_length=CFG.text_length,
+    )
+    model = hifi.HunyuanVideoFoley(model_config, dtype=torch.float32)
+    model.eval()
+    # Default init zeroes some projections (final_layer/adaLN outputs, ModulateDiT) so the
+    # forward would barely exercise the wiring; re-randomize every float parameter.
+    gen = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen, dtype=p.dtype) * 0.05)
+    return model
+
+
+def test_full_forward_matches_literal_reference():
+    model = _build_reference_model()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_mmdit_state_dict(sd, CFG, strict=True)
+
+    rng = np.random.default_rng(3)
+    B, tl = 2, 10
+    x = rng.normal(size=(B, tl, CFG.audio_vae_latent_dim)).astype(np.float32)
+    t = np.asarray([500.0, 123.0], np.float32)
+    cond = rng.normal(size=(B, 6, CFG.condition_dim)).astype(np.float32)
+    clip = rng.normal(size=(B, 4, CFG.clip_dim)).astype(np.float32)
+    sync = rng.normal(size=(B, 16, CFG.sync_feat_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(
+            x=torch.from_numpy(x).transpose(1, 2),  # reference is channel-first [B, C, T]
+            t=torch.from_numpy(t),
+            clip_feat=torch.from_numpy(clip),
+            cond=torch.from_numpy(cond),
+            sync_feat=torch.from_numpy(sync),
+            return_dict=False,
+        ).transpose(1, 2).numpy()
+
+    got = mmdit.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
+        jnp.asarray(clip), jnp.asarray(sync), CFG,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_converter_consumes_every_literal_key():
+    """strict conversion + no unexpected leftovers: the literal state dict maps 1:1."""
+    model = _build_reference_model()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    n_keys = len(sd)
+    assert n_keys > 0
+    convert_mmdit_state_dict(sd, CFG, strict=True, consume=True)
+    assert sd == {}, f"unconverted literal keys: {sorted(sd)[:10]}"
