@@ -312,6 +312,7 @@ class HunyuanFoleySampler:
                 "torch_compile_cfg": ("COMPILE_CFG",),
                 "block_swap_args": ("BLOCKSWAPARGS",),
                 "allow_unconditioned": ("BOOLEAN", {"default": False}),
+                "progress": ("BOOLEAN", {"default": False}),
             },
         }
 
@@ -338,6 +339,7 @@ class HunyuanFoleySampler:
         torch_compile_cfg: Optional[Dict] = None,
         block_swap_args: Optional[Dict] = None,
         allow_unconditioned: bool = False,
+        progress: bool = False,
     ):
         params = foley_model["params"]
         cfg: PipelineConfig = foley_model["cfg"]
@@ -373,6 +375,11 @@ class HunyuanFoleySampler:
             block_swapped = is_split_stack(params.get("single_blocks")) or is_split_stack(
                 params.get("triple_blocks")
             )
+            if block_swap_args.get("block_swap_debug"):
+                # the reference's BlockSwap memory report (hifi_foley.py:609-612)
+                from foley_tpu.parallel.offload import log_partition_report
+
+                log_partition_report(params)
         elif block_swap_args is not None:
             # blocks_to_swap == 0 with the node attached: bring any split stacks back to HBM
             from foley_tpu.parallel.offload import is_split_stack, merge_block_suffix
@@ -405,6 +412,7 @@ class HunyuanFoleySampler:
             offload_fetch=offload_fetch,
             offload_prefetch=1 + int((block_swap_args or {}).get("prefetch_blocks", 0)),
             latent_stats=foley_model.get("latent_stats"),
+            progress=progress,
         )
 
         # AOT warmup over the declared shape buckets (the torch.compile node's runtime role,
@@ -413,9 +421,19 @@ class HunyuanFoleySampler:
             self._warmup_compile(foley_model, bundle, torch_compile_cfg, cfg_scale, steps, sampler)
 
         # --- phase 2: denoise + decode ---
+        import time as _time
+
+        t_denoise = _time.perf_counter()
         with phase(f"denoise ({steps} steps, {sampler}) + decode"):
             result = self._generate(bundle, text_feat, uncond_text_feat, duration, clip_feat,
                                     sync_feat, cfg_scale, steps, sampler, batch_size, seed)
+        if block_swap_args and block_swap_args.get("block_swap_debug"):
+            # per-step aggregate: the whole denoise loop is ONE jitted scan, so the
+            # reference's per-block host timestamps (hifi_foley.py:855) have no analog;
+            # report the aggregate step cost instead (includes the gated host fetches).
+            dt = _time.perf_counter() - t_denoise
+            logger.info(f"block_swap_debug: denoise+decode {dt:.2f}s "
+                        f"≈ {1000.0 * dt / max(steps, 1):.1f} ms/step incl. decode")
         sr = result.sample_rate
 
         # force_offload: park the denoiser params in host memory until the next call

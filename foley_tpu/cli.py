@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
     p.add_argument("--quantization", type=str, default="none",
-                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8"])
+                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"])
     p.add_argument("--output", type=str, default="output.wav")
     p.add_argument("--merge_video", action="store_true",
                    help="Mux generated audio onto --single_video with ffmpeg")
@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "of host-seconds per clip on weak hosts)")
     p.add_argument("--strength", type=float, default=0.6,
                    help="Edit strength in (0, 1]: fraction of the schedule to re-run")
+    p.add_argument("--progress", action="store_true",
+                   help="log a tick per denoise step (the reference's ProgressBar UX); "
+                        "off by default — the loop is one jitted scan and ticks add a "
+                        "host callback per step")
     p.add_argument("--allow_unconditioned", action="store_true",
                    help="Permit generation with zero text features when CLAP is not loaded")
     p.add_argument("--gradio", action="store_true",
@@ -67,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "one-shot generation; serves GET / plus the JSON/WAV API")
     p.add_argument("--host", type=str, default="127.0.0.1", help="--gradio bind host")
     p.add_argument("--port", type=int, default=8321, help="--gradio bind port")
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="--gradio only: >1 enables request coalescing in the server")
+    p.add_argument("--mesh", type=str, default="",
+                   help='--gradio only: multi-chip serving mesh, e.g. "data=4,model=2"')
     return p
 
 
@@ -88,8 +96,14 @@ def main(argv=None) -> int:
 
         serve_argv = ["--host", args.host, "--port", str(args.port),
                       "--precision", args.precision,
+                      "--quantization", args.quantization,
+                      "--config", args.config,
                       "--durations", str(args.duration),
-                      "--warmup_steps", str(args.num_inference_steps)]
+                      "--warmup_steps", str(args.num_inference_steps),
+                      "--max_batch", str(args.max_batch),
+                      "--v2a_preprocess", args.v2a_preprocess]
+        if args.mesh:
+            serve_argv += ["--mesh", args.mesh]
         if args.random_init:
             serve_argv += ["--random_init", args.random_init]
         elif args.model_path:
@@ -183,6 +197,7 @@ def main(argv=None) -> int:
             image=image,
             # --random_init smoke runs have no text encoder by construction
             allow_unconditioned=args.allow_unconditioned or bool(args.random_init),
+            progress=args.progress,
         )
         dt = time.perf_counter() - t0
         wf = np.asarray(audio_first["waveform"])[0]  # [C, T]
@@ -346,7 +361,9 @@ def main_single(args) -> int:
 def _namespace_to_argv(ns) -> list:
     argv = []
     for key, value in vars(ns).items():
-        if value in (None, False):
+        # identity checks: `0 == False` in Python, so `value in (None, False)` would
+        # silently drop explicit zero-valued flags (e.g. --seed 0) from CSV batch rows
+        if value is None or value is False:
             continue
         flag = f"--{key}"
         if value is True:

@@ -40,6 +40,45 @@ def host_memory_available() -> bool:
         return False
 
 
+def partition_report(params: Dict) -> Dict[str, float]:
+    """Host-vs-HBM placement report in MB for the block stacks (the reference's
+    BlockSwap memory report, ``hifi_foley.py:609-612``: "Blocks on CPU: X MB / GPU: Y MB").
+
+    Returns {"host_mb", "device_mb", "host_blocks", "device_blocks"}.
+    """
+    def tree_mb(tree) -> float:
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)) / 1e6
+
+    host_mb = device_mb = 0.0
+    host_blocks = device_blocks = 0
+    for key in ("triple_blocks", "single_blocks"):
+        stack = params.get(key)
+        if stack is None:
+            continue
+        if is_split_stack(stack):
+            resident = stack["resident"]
+            n_res = _stack_depth(resident) if jax.tree.leaves(resident) else 0
+            device_mb += tree_mb(resident)
+            device_blocks += n_res
+            for block in stack["offloaded"]:
+                host_mb += tree_mb(block)
+            host_blocks += len(stack["offloaded"])
+        else:
+            device_mb += tree_mb(stack)
+            device_blocks += _stack_depth(stack)
+    return {"host_mb": host_mb, "device_mb": device_mb,
+            "host_blocks": host_blocks, "device_blocks": device_blocks}
+
+
+def log_partition_report(params: Dict) -> Dict[str, float]:
+    rep = partition_report(params)
+    logger.info("--- BlockSwap memory report ---")
+    logger.info(f"Blocks in pinned host RAM: {rep['host_blocks']} ({rep['host_mb']:.2f} MB)")
+    logger.info(f"Blocks in device HBM:      {rep['device_blocks']} ({rep['device_mb']:.2f} MB)")
+    logger.info("-------------------------------")
+    return rep
+
+
 def _put(tree: Dict, memory_kind: str) -> Dict:
     space = jax.memory.Space.Host if memory_kind == "pinned_host" else jax.memory.Space.Device
     return jax.tree.map(lambda x: jax.device_put(x, space), tree)

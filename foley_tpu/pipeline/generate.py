@@ -45,6 +45,7 @@ class ModelBundle(NamedTuple):
     offload_fetch: bool = False  # block stacks live in pinned host memory (block-swap analog)
     offload_prefetch: int = 1  # HBM fetch window for split stacks (1 = gated serial fetch)
     latent_stats: Optional[tuple] = None  # (mean[C], std[C]) for from-scratch-trained models
+    progress: bool = False  # per-step host progress ticks (reference ProgressBar UX)
 
 
 @dataclasses.dataclass
@@ -128,6 +129,7 @@ def generate_audio(
         compute_dtype=bundle.compute_dtype,
         offload_fetch=bundle.offload_fetch,
         offload_prefetch=bundle.offload_prefetch,
+        progress=bundle.progress,
     )
     audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32
     t2 = time.perf_counter()
@@ -205,7 +207,7 @@ def generate_audio_multi(
         cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
         solver=sampler, use_cfg=use_cfg, attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
-        offload_prefetch=bundle.offload_prefetch,
+        offload_prefetch=bundle.offload_prefetch, progress=bundle.progress,
     )
     raw = final_latents
     if bundle.latent_stats is not None:

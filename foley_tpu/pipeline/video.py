@@ -71,6 +71,32 @@ def read_frames_dir(
     return frames.astype(np.float32) / 255.0, float(fps)
 
 
+def _read_with_pyav(
+    path: str, target_fps: Optional[float] = None, max_frames: Optional[int] = None,
+) -> Tuple[np.ndarray, float]:
+    """Decode with PyAV (reference ``feature_utils.py:20-61``); optional fps resample by
+    nearest-frame selection (the ffmpeg path's ``-vf fps=`` analog)."""
+    import av
+
+    with av.open(path) as container:
+        stream = container.streams.video[0]
+        src_fps = float(stream.average_rate or 25.0)
+        decoded = [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
+    if not decoded:
+        raise RuntimeError(f"no video frames decoded from {path}")
+    frames = np.stack(decoded)
+    fps = src_fps
+    if target_fps and abs(target_fps - src_fps) > 1e-6:
+        n_out = max(1, int(round(len(frames) * target_fps / src_fps)))
+        idx = np.clip(np.round(np.arange(n_out) * src_fps / target_fps).astype(int),
+                      0, len(frames) - 1)
+        frames = frames[idx]
+        fps = target_fps
+    if max_frames:
+        frames = frames[:max_frames]
+    return frames.astype(np.float32) / 255.0, fps
+
+
 def read_video_frames(
     path: str, target_fps: Optional[float] = None, max_frames: Optional[int] = None,
     dir_fps: float = 16.0,
@@ -83,7 +109,16 @@ def read_video_frames(
         return read_frames_dir(path, fps=dir_fps, target_fps=target_fps, max_frames=max_frames)
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
-        raise RuntimeError("ffmpeg not found; install ffmpeg to read videos")
+        # in-process decode fallback, the reference's own path (feature_utils.py:20-61
+        # reads via PyAV, no ffmpeg binary needed)
+        try:
+            import av  # noqa: F401
+        except ImportError:
+            raise RuntimeError(
+                "no video decoder: install ffmpeg or the 'av' (PyAV) package, or pass a "
+                "directory of image frames"
+            ) from None
+        return _read_with_pyav(path, target_fps=target_fps, max_frames=max_frames)
     w, h, src_fps = _probe(path)
     fps = target_fps or src_fps
     cmd = [ffmpeg, "-v", "quiet", "-i", path]

@@ -53,10 +53,15 @@ class FoleyService:
         video_encoders: Optional[Dict] = None,
         mesh=None,
         v2a_warmup_hw: Optional[Tuple[int, int]] = None,
+        frames_root: Optional[str] = "/",
     ):
         self.bundle = bundle
         self.text_encoder = text_encoder
         self.video_encoders = video_encoders
+        # frames_path allowlist root: requests may only read under this directory
+        # (None disables frames_path entirely). The HTTP entrypoint narrows this to
+        # --frames_root / loopback-only; the permissive default is for in-process use.
+        self.frames_root = frames_root
         # (H, W) to warm the V2A device-resize programs at; those programs are
         # shape-specialized, so set this to the production camera geometry
         self.v2a_warmup_hw = v2a_warmup_hw
@@ -183,9 +188,23 @@ class FoleyService:
                 frames = frames.astype(np.float32) / 255.0
             return np.clip(frames.astype(np.float32), 0.0, 1.0), fps
         if "frames_path" in request:
+            import os as _os
+
             from foley_tpu.pipeline.video import read_video_frames
 
-            return read_video_frames(request["frames_path"], dir_fps=fps)
+            # frames_path makes the SERVER read a local file/dir on a client's behalf —
+            # gate it behind the allowlist so a non-loopback deployment isn't a
+            # local-file-probing vector
+            if self.frames_root is None:
+                raise ValueError(
+                    "frames_path is disabled on this server (non-loopback bind without "
+                    "--frames_root); send frames_b64 instead"
+                )
+            path = _os.path.realpath(str(request["frames_path"]))
+            root = _os.path.realpath(self.frames_root)
+            if path != root and not path.startswith(root.rstrip(_os.sep) + _os.sep):
+                raise ValueError("frames_path outside the server's --frames_root allowlist")
+            return read_video_frames(path, dir_fps=fps)
         return None, None
 
     def _visual_features(self, request: Dict, bucket_duration: float):
@@ -516,6 +535,11 @@ def main(argv=None) -> int:
     p.add_argument("--model_path", default=None)
     p.add_argument("--random_init", default=None)
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--quantization", default="none",
+                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"],
+                   help="weight quantization for the checkpoint load (same modes as the "
+                        "HunyuanModelLoader node)")
+    p.add_argument("--config", default="xxl", choices=["xxl", "xl", "tiny"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--durations", default="5")
@@ -533,6 +557,10 @@ def main(argv=None) -> int:
                    help='source frame geometry "HxW" (e.g. 360x640) to pre-compile the '
                         "V2A device-resize programs at — set to the production camera "
                         "resolution so the first video request is fully warm")
+    p.add_argument("--frames_root", default=None,
+                   help="directory allowlist for request frames_path reads; required to "
+                        "enable frames_path on a non-loopback --host (loopback binds "
+                        "default to unrestricted)")
     p.add_argument("--mesh", default="",
                    help='multi-chip serving over a ("data","model") mesh, e.g. '
                         '"data=4,model=2" on a v5p-8: MMDiT shards per the Megatron '
@@ -596,7 +624,8 @@ def main(argv=None) -> int:
 
         from foley_tpu.pipeline.standalone import load_model
 
-        manager = load_model(args.model_path, precision=args.precision)
+        manager = load_model(args.model_path, config=args.config,
+                             precision=args.precision, quantization=args.quantization)
         bundle = ModelBundle(
             mmdit_params=manager.foley["params"],
             dac_params=manager.dac["params"],
@@ -621,6 +650,13 @@ def main(argv=None) -> int:
         mesh = make_mesh(data=mesh_spec.get("data"), model=mesh_spec.get("model"))
         bundle = shard_bundle(bundle, mesh)
 
+    if args.frames_root:
+        frames_root = args.frames_root
+    elif args.host in ("127.0.0.1", "localhost", "::1"):
+        frames_root = "/"  # loopback clients already have local file access
+    else:
+        frames_root = None  # public bind: frames_path off unless explicitly allowlisted
+
     service_cls = FoleyService if args.max_batch <= 1 else BatchingFoleyService
     extra = {} if args.max_batch <= 1 else {"max_batch": args.max_batch}
     service = service_cls(
@@ -629,6 +665,7 @@ def main(argv=None) -> int:
         video_encoders=video_encoders,
         mesh=mesh,
         v2a_warmup_hw=warmup_hw,
+        frames_root=frames_root,
         **extra,
     )
     service.warmup(steps=args.warmup_steps)

@@ -128,9 +128,10 @@ def encode_corpus(
     from foley_tpu.models import dac_vae
 
     encode = jax.jit(
-        lambda p, a: dac_vae.encode(p, a, dac_cfg).sample(jax.random.PRNGKey(seed)),
+        lambda p, a, k: dac_vae.encode(p, a, dac_cfg).sample(k),
         static_argnums=(),
     )
+    base_key = jax.random.PRNGKey(seed)
     os.makedirs(out_dir, exist_ok=True)
     shards: List[str] = []
     lat_buf: List[np.ndarray] = []
@@ -152,7 +153,10 @@ def encode_corpus(
         for _ in range(min(batch_size, num_clips - done)):
             batch.append(next(it))
         audio = jnp.asarray(np.stack([b["audio"] for b in batch]))[..., None]  # [B, T, 1]
-        z = np.asarray(encode(dac_params, audio), np.float32)
+        # fold the batch index into the key: one fixed key would draw the SAME posterior
+        # noise tensor for every batch, correlating corpus latents across batches
+        batch_key = jax.random.fold_in(base_key, done)
+        z = np.asarray(encode(dac_params, audio, batch_key), np.float32)
         lat_buf.append(z)
         path_buf.extend(b.get("path", "") for b in batch)
         done += len(batch)
@@ -244,7 +248,11 @@ def flow_match_batches(
     """
     from foley_tpu.models import mmdit as mmdit_model
 
-    probe = next(iter(latent_iter))
+    # normalize to an iterator once: with a re-iterable (e.g. a dataset object) the later
+    # `yield from latent_iter` would restart it, duplicating the probe item with a
+    # diverged RNG stream
+    latent_iter = iter(latent_iter)
+    probe = next(latent_iter)
     lat_len = probe["latents"].shape[0]
     first = [probe]
 

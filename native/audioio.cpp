@@ -107,14 +107,19 @@ static long af__read_chunks(FILE* f, uint8_t** fmt_out, long* fmt_len,
     while (fread(ch, 1, 8, f) == 8) {
         uint32_t size; memcpy(&size, ch + 4, 4);
         long padded = (long)size + (size & 1);
+        if (size == 0) {  // legal zero-length chunk: skip (malloc(0) may return NULL)
+            if (padded) fseek(f, 1, SEEK_CUR);
+            continue;
+        }
         uint8_t* buf = (uint8_t*)malloc(size);
         if (!buf) return -3;
         if (fread(buf, 1, size, f) != size) { free(buf); break; }
         if (padded != (long)size) fseek(f, 1, SEEK_CUR);
-        if (memcmp(ch, "fmt ", 4) == 0 && !*fmt_out) { *fmt_out = buf; *fmt_len = size; }
-        else if (memcmp(ch, "data", 4) == 0 && !*data_out) { *data_out = buf; *data_len = size; }
+        // keep the LAST fmt/data chunk, mirroring the Python fallback parser
+        // (foley_tpu/io/audio.py) so both paths agree on pathological files
+        if (memcmp(ch, "fmt ", 4) == 0) { free(*fmt_out); *fmt_out = buf; *fmt_len = size; }
+        else if (memcmp(ch, "data", 4) == 0) { free(*data_out); *data_out = buf; *data_len = size; }
         else free(buf);
-        if (*fmt_out && *data_out) break;
     }
     return (*fmt_out && *data_out) ? 0 : -3;
 }

@@ -273,3 +273,43 @@ def test_sampler_block_swap_end_to_end():
     )
     assert not is_split_stack(foley_model["params"].get("single_blocks"))
     np.testing.assert_allclose(np.asarray(first2["waveform"]), wf, atol=1e-5)
+
+
+def test_namespace_argv_roundtrips_zero_values():
+    """CSV-batch argv rebuild must keep explicit zero-valued flags (0 == False in Python
+    made the old `value in (None, False)` check drop them)."""
+    from foley_tpu.cli import _namespace_to_argv, build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--seed", "0", "--guidance_scale", "0.0",
+                         "--single_prompt", "x", "--merge_video"])
+    argv = _namespace_to_argv(args)
+    assert "--seed" in argv and "--guidance_scale" in argv and "--merge_video" in argv
+    again = p.parse_args(argv)
+    assert again.seed == 0 and again.guidance_scale == 0.0 and again.merge_video is True
+    assert again.single_video is None  # None-valued flags stay omitted
+
+
+def test_partition_report_bytes():
+    """block_swap_debug's memory report: MB split between host and HBM per placement."""
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import mmdit
+    from foley_tpu.parallel.offload import (
+        host_memory_available, offload_block_suffix, partition_report,
+    )
+
+    params = mmdit.init(jax.random.PRNGKey(0), TINY.model, dtype=jnp.float32)
+    rep = partition_report(params)
+    assert rep["host_blocks"] == 0 and rep["host_mb"] == 0.0
+    assert rep["device_blocks"] == TINY.model.depth_triple_blocks + TINY.model.depth_single_blocks
+    assert rep["device_mb"] > 0
+
+    if not host_memory_available():
+        pytest.skip("no pinned_host memory kind on this backend")
+    swapped = offload_block_suffix(params, 3)
+    rep2 = partition_report(swapped)
+    assert rep2["host_blocks"] == 3
+    assert rep2["device_blocks"] == rep["device_blocks"] - 3
+    assert rep2["host_mb"] > 0
+    np.testing.assert_allclose(rep2["host_mb"] + rep2["device_mb"],
+                               rep["device_mb"], rtol=1e-6)

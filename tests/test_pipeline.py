@@ -199,3 +199,32 @@ def test_edit_audio_partial_denoise(bundle):
     assert np.abs(light.audio_batch - heavy.audio_batch).max() > 0
     again = edit_audio(bundle, src, text, uncond, strength=0.25, **kw)
     np.testing.assert_array_equal(light.audio_batch, again.audio_batch)
+
+
+def test_progress_ticks(bundle):
+    """progress=True logs one tick per denoise step and leaves the audio bit-identical."""
+    import logging
+
+    from foley_tpu.utils.logging import get_logger
+
+    text, uncond = _text()
+    kw = dict(duration_s=1.0, guidance_scale=4.5, num_inference_steps=3,
+              batch_size=1, seed=11, text_bucket=16)
+    res_quiet = generate_audio(bundle, text, uncond, **kw)
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    get_logger().addHandler(handler)  # the package logger has propagate=False
+    try:
+        res_prog = generate_audio(bundle._replace(progress=True), text, uncond, **kw)
+    finally:
+        get_logger().removeHandler(handler)
+    ticks = [m for m in records if "denoise step" in m]
+    assert len(ticks) == 3, records
+    assert any("denoise step 1/3" in m for m in ticks)
+    np.testing.assert_array_equal(res_prog.audio_batch, res_quiet.audio_batch)

@@ -266,6 +266,32 @@ def test_v2a_request_frames_path(service, tmp_path):
     assert out["waveform"].shape == (1, 48000)
 
 
+def test_frames_path_allowlist(service, tmp_path):
+    """frames_path is gated by frames_root: None disables it, a root rejects escapes."""
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(16):
+        Image.fromarray(np.zeros((24, 24, 3), np.uint8)).save(d / f"f_{i:03d}.png")
+    req = {"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 1,
+           "frames_path": str(d), "frames_fps": 16.0}
+
+    saved = service.frames_root
+    try:
+        service.frames_root = None  # public-bind default: frames_path off
+        with pytest.raises(ValueError, match="disabled"):
+            service.generate(dict(req))
+        service.frames_root = str(tmp_path / "elsewhere")  # allowlist miss
+        with pytest.raises(ValueError, match="allowlist"):
+            service.generate(dict(req))
+        service.frames_root = str(tmp_path)  # allowlist hit
+        out = service.generate(dict(req))
+        assert out["waveform"].shape == (1, 48000)
+    finally:
+        service.frames_root = saved
+
+
 def test_v2a_without_encoders_is_a_clear_error(service):
     svc = FoleyService(service.bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
     with pytest.raises(ValueError, match="enable_v2a"):

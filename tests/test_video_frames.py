@@ -141,3 +141,72 @@ def test_cli_oom_hint(tmp_path, monkeypatch, capsys):
                "--output", str(tmp_path / "o.wav")])
     err = capsys.readouterr().err
     assert rc == 1 and "fp8_e4m3fn" in err and "error:" in err
+
+
+def test_pyav_fallback_with_stub(monkeypatch, tmp_path):
+    """When ffmpeg is absent, read_video_frames decodes via PyAV (reference
+    feature_utils.py:20-61). av isn't in this image, so drive the path with a stub
+    exposing the exact API surface used (open/streams/decode/to_ndarray/average_rate)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from foley_tpu.pipeline import video as video_mod
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (10, 8, 8, 3), dtype=np.uint8)
+
+    class _Frame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._arr
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        streams = types.SimpleNamespace(
+            video=[types.SimpleNamespace(average_rate=20.0)])
+
+        def decode(self, stream):
+            return (_Frame(a) for a in raw)
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda path: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    monkeypatch.setattr(video_mod.shutil, "which", lambda name: None)
+
+    vid = tmp_path / "clip.mp4"
+    vid.write_bytes(b"\x00")  # never parsed by the stub
+    frames, fps = video_mod.read_video_frames(str(vid))
+    assert frames.shape == (10, 8, 8, 3) and fps == 20.0
+    assert frames.dtype == np.float32 and frames.max() <= 1.0
+
+    # fps resample by nearest-frame selection
+    frames2, fps2 = video_mod.read_video_frames(str(vid), target_fps=10.0)
+    assert fps2 == 10.0 and frames2.shape[0] == 5
+    np.testing.assert_allclose(frames2[1], raw[2].astype(np.float32) / 255.0)
+
+    # no decoder at all -> actionable error
+    monkeypatch.delitem(sys.modules, "av")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_av(name, *a, **k):
+        if name == "av":
+            raise ImportError("no av")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_av)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="ffmpeg or the 'av'"):
+        video_mod.read_video_frames(str(vid))
