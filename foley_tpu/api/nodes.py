@@ -540,6 +540,16 @@ class HunyuanFoleySampler:
         f8 = resample_frames(frames, frame_rate, duration, cfg.siglip2_fps)
         f25 = resample_frames(frames, frame_rate, duration, cfg.synchformer_fps)
         clip_feat = sync_feat = None
+        sync_dev = getattr(deps.get("synchformer"), "preprocess", "pil") == "device" \
+            if "synchformer" in deps else False
+        preloaded = None
+        if sync_dev and "siglip2" in deps:
+            from foley_tpu.models import synchformer as sync_mod
+
+            # Kick the (largest) Synchformer frame upload BEFORE SigLIP2 runs: device_put
+            # dispatches asynchronously, so the tunnel-bottlenecked transfer streams while
+            # the SigLIP2 ViT occupies the chip (VERDICT r2 item 5; tools/profile_v2a.py).
+            preloaded = sync_mod.upload_frames_async(f25)
         if "siglip2" in deps:
             from foley_tpu.models import siglip2 as siglip_mod
 
@@ -548,10 +558,10 @@ class HunyuanFoleySampler:
             from foley_tpu.models import synchformer as sync_mod
 
             enc = deps["synchformer"]
-            if getattr(enc, "preprocess", "pil") == "device":
+            if sync_dev:
                 # unique frames ship once (uint8) and the overlapping segmentation is an
                 # on-device gather — ~8x fewer host->device bytes than sync_segments
-                sync_feat = sync_mod.encode_frames_device(enc, f25)
+                sync_feat = sync_mod.encode_frames_device(enc, f25, preloaded_u8=preloaded)
             else:
                 segs = sync_segments(f25)
                 sync_feat = sync_mod.encode_segments(enc, segs)

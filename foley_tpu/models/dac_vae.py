@@ -145,6 +145,64 @@ def decode(params: Dict, z: jnp.ndarray, cfg: DACConfig) -> jnp.ndarray:
     return jnp.tanh(x)
 
 
+# Decoder receptive field in latent frames: conv_in k7 contributes +-3; each block's
+# transposed conv +-~2 and dilated residual stack +-39 samples at its own resolution,
+# divided back by the cumulative upsample (rates [8,5,4,3,2] -> +-4.9, +-1.0, +-0.24, ...);
+# total ~+-12 latent frames. 32 gives a 2.6x safety margin for ~3% extra decode work.
+_DECODE_OVERLAP = 32
+
+
+def decode_chunked(
+    params: Dict,
+    z: jnp.ndarray,
+    cfg: DACConfig,
+    chunk_frames: int,
+    overlap_frames: int = _DECODE_OVERLAP,
+) -> jnp.ndarray:
+    """``decode`` in time chunks: same output, ~``chunk/T`` of the HLO-temp footprint.
+
+    Long-form motivation: at 60 s (T=3000 latent frames) a single full-length decode
+    materializes four ~1.37 GiB fp32 intermediates ([1, 2.88M, 64] tile-padded 2x because
+    C=64 < the 128-lane tile) and OOMs a 16 GiB chip by ~340 MB next to the XXL bf16
+    weights. The reference solves the same problem with windowed CodecMixin inference
+    (``dac_vae/model/base.py:178-244``, overlap-trim over chunks); this is the TPU version:
+    interior windows run under ``lax.map`` so XLA allocates ONE window's temps and reuses
+    them sequentially.
+
+    Exactness (not an approximation): every kept output sample sees >= ``overlap_frames``
+    latent frames of true context on each interior side, and head/tail windows start/end at
+    the true sequence edges so the per-layer conv zero-padding there matches the full
+    decode's. ``overlap_frames`` (32) >> the decoder's ~12-frame receptive field
+    (test_dac::test_decode_chunked_exact).
+    """
+    B, T, D = z.shape
+    ov = overlap_frames
+    n = max(1, -(-T // chunk_frames))
+    if n >= 2 and T - (n - 1) * chunk_frames < ov:
+        n -= 1  # merge a too-short tail into the last window so interior slices stay in range
+    if n == 1 or T <= chunk_frames + ov:
+        return decode(params, z, cfg)
+    hop = cfg.hop_length
+    tail_frames = T - (n - 1) * chunk_frames
+
+    head = decode(params, z[:, : chunk_frames + ov], cfg)[:, : chunk_frames * hop]
+    parts = [head]
+    if n > 2:
+        win = chunk_frames + 2 * ov
+        starts = jnp.arange(1, n - 1, dtype=jnp.int32) * chunk_frames - ov
+
+        def one_window(start):
+            w = jax.lax.dynamic_slice_in_dim(z, start, win, axis=1)
+            y = decode(params, w, cfg)
+            return jax.lax.dynamic_slice_in_dim(y, ov * hop, chunk_frames * hop, axis=1)
+
+        mid = jax.lax.map(one_window, starts)  # [n-2, B, chunk*hop, 1]
+        parts.append(jnp.moveaxis(mid, 0, 1).reshape(B, (n - 2) * chunk_frames * hop, 1))
+    tail = decode(params, z[:, T - (tail_frames + ov):], cfg)[:, ov * hop:]
+    parts.append(tail)
+    return jnp.concatenate(parts, axis=1)
+
+
 def _encoder_block(p: Dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     for unit, dilation in zip(p["res"], (1, 3, 9)):
         x = _residual_unit(unit, x, dilation)

@@ -348,17 +348,32 @@ def preprocess_frames_device(frames: jnp.ndarray, size: int = 224) -> jnp.ndarra
     return (jnp.clip(x, 0.0, 1.0) - 0.5) / 0.5
 
 
+def upload_frames_async(frames: np.ndarray) -> jnp.ndarray:
+    """Start the uint8 host->device frame transfer WITHOUT blocking on it.
+
+    ``jax.device_put`` dispatches asynchronously: calling this before running another
+    encoder lets the (tunnel-bottlenecked, 25-35 MB/s measured) frame upload stream while
+    that encoder's compute occupies the chip. Pass the result to ``encode_frames_device``
+    as ``preloaded_u8``."""
+    return jax.device_put(frames_to_u8(np.asarray(frames)))
+
+
 def encode_frames_device(encoder: "SynchformerEncoder", frames_25fps: np.ndarray,
-                         segment_size: int = 16, stride: int = 8) -> jnp.ndarray:
+                         segment_size: int = 16, stride: int = 8,
+                         preloaded_u8: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Device-side 25 fps pipeline: ship each UNIQUE frame once as uint8, then resize,
     window into overlapping 16-frame/stride-8 segments (a gather — the 50% overlap costs
     no transfer), and encode. vs ``sync_segments`` + ``encode_segments``, host->device
     bytes drop ~8x (float32 -> uint8, overlapping segments -> unique frames): the measured
-    tunnel-transfer bottleneck (tools/profile_v2a.py)."""
+    tunnel-transfer bottleneck (tools/profile_v2a.py).
+
+    ``preloaded_u8``: frames already in flight from ``upload_frames_async`` (overlapping
+    this transfer with the other visual encoder's compute)."""
     t = frames_25fps.shape[0]
     num = max((t - segment_size) // stride + 1, 1)
-    dev = preprocess_frames_device(jnp.asarray(frames_to_u8(np.asarray(frames_25fps))),
-                                   encoder.cfg.img_size)
+    u8 = preloaded_u8 if preloaded_u8 is not None else jnp.asarray(
+        frames_to_u8(np.asarray(frames_25fps)))
+    dev = preprocess_frames_device(u8, encoder.cfg.img_size)
     # window indices; short inputs repeat the last frame (sync_segments semantics)
     idx = np.arange(num)[:, None] * stride + np.arange(segment_size)[None, :]
     idx = np.minimum(idx, t - 1)

@@ -78,6 +78,51 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(jax.jit, static_argnames=("lk_valid", "eps", "interpret"))
+def fused_qk_attention_headfirst(
+    qb: jnp.ndarray,          # [BH, Lq_pad, D] raw (pre-norm, pre-rope), head-first
+    kb: jnp.ndarray,          # [BH, Lk_pad, D]
+    vb: jnp.ndarray,          # [BH, Lk_pad, D]
+    wq: jnp.ndarray,          # [Lq_pad, D] per-position q-norm weights (fp32)
+    wk: jnp.ndarray,          # [Lk_pad, D]
+    cos_q: jnp.ndarray,       # [Lq_pad, D]
+    sin_q: jnp.ndarray,
+    cos_k: jnp.ndarray,       # [Lk_pad, D]
+    sin_k: jnp.ndarray,
+    lk_valid: int,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Kernel entry on already head-first [B*H, L, D] operands (padded to tile multiples).
+
+    ``fused_qk_attention`` is the [B, L, H, D] convenience wrapper; this entry exists for
+    callers that keep the head-first layout across the whole attention (avoiding the
+    transpose+pad round trip per call) and for transpose-cost A/B profiling
+    (tools/profile_r3.py). Returns [BH, Lq_pad, D]."""
+    bh, lq_pad, d = qb.shape
+    lk_pad = kb.shape[1]
+    assert lq_pad % BLOCK_Q == 0 and lk_pad % 128 == 0, (lq_pad, lk_pad)
+    scale = 1.0 / (d ** 0.5)
+    grid = (bh, lq_pad // BLOCK_Q)
+    qspec = pl.BlockSpec((1, BLOCK_Q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, lk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM)
+    qtab = pl.BlockSpec((BLOCK_Q, d), lambda bh, i: (i, 0), memory_space=pltpu.VMEM)
+    ktab = pl.BlockSpec((lk_pad, d), lambda bh, i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, lk_valid=lk_valid, eps=eps),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, qtab, ktab, qtab, qtab, ktab, ktab],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), qb.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq_pad * lk_pad * d,
+            bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+    )(qb, kb, vb, wq, wk, cos_q, sin_q, cos_k, sin_k)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_qk_attention(
     q: jnp.ndarray,           # [B, Lq, H, D] raw (pre-norm, pre-rope)
@@ -94,7 +139,6 @@ def fused_qk_attention(
 ) -> jnp.ndarray:
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    scale = 1.0 / (d ** 0.5)
     lq_pad = _round_up(lq, BLOCK_Q)
     lk_pad = _round_up(lk, 128)
 
@@ -113,23 +157,8 @@ def fused_qk_attention(
     wq_p, cq_p, sq_p = (pad_tab(t, lq, lq_pad) for t in (wq, cos_q, sin_q))
     wk_p, ck_p, sk_p = (pad_tab(t, lk, lk_pad) for t in (wk, cos_k, sin_k))
 
-    grid = (b * h, lq_pad // BLOCK_Q)
-    qspec = pl.BlockSpec((1, BLOCK_Q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, lk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM)
-    qtab = pl.BlockSpec((BLOCK_Q, d), lambda bh, i: (i, 0), memory_space=pltpu.VMEM)
-    ktab = pl.BlockSpec((lk_pad, d), lambda bh, i: (0, 0), memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, lk_valid=lk, eps=eps),
-        grid=grid,
-        in_specs=[qspec, kspec, kspec, qtab, ktab, qtab, qtab, ktab, ktab],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+    out = fused_qk_attention_headfirst(
+        qb, kb, vb, wq_p, wk_p, cq_p, sq_p, ck_p, sk_p, lk_valid=lk, eps=eps,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lq_pad * lk_pad * d,
-            bytes_accessed=(qb.size + kb.size + vb.size) * q.dtype.itemsize,
-            transcendentals=b * h * lq_pad * lk_pad,
-        ),
-    )(qb, kb, vb, wq_p, wk_p, cq_p, sq_p, ck_p, sk_p)
+    )
     return jnp.transpose(out[:, :lq].reshape(b, h, lq, d), (0, 2, 1, 3))

@@ -9,7 +9,10 @@ Behavioral contract (reference ``posemb_layers.py:117-172``, ``attn_layers.py:11
 
 TPU-first difference: the reference rebuilds tables inside every cross-attention forward
 (``hifi_foley.py:295-308``); here tables are pure functions of static lengths, precomputed at
-trace time and constant-folded into the jitted graph.
+trace time and constant-folded into the jitted graph. (An ``optimization_barrier`` on the
+position vector was tried to stop XLA padding the folded [2T, D] fp32 literals 16x at 60 s —
+it made every XXL execution stall multi-minute on the axon runtime and was reverted; the
+long-form memory fix is chunked DAC decode, ``dac_vae.decode_chunked``.)
 """
 
 from __future__ import annotations

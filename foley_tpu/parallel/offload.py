@@ -80,12 +80,33 @@ def log_partition_report(params: Dict) -> Dict[str, float]:
 
 
 def _put(tree: Dict, memory_kind: str) -> Dict:
+    """Move a param tree between memory spaces INCREMENTALLY: one leaf at a time, blocking
+    on each copy and deleting the source buffer before the next.
+
+    A whole-tree ``jax.tree.map(device_put)`` keeps every source leaf alive until the map
+    returns — on this runtime (lazy deallocation through the tunnel) that transiently
+    DOUBLES the tree's footprint, which RESOURCE_EXHAUSTs a 16 GiB chip when committing the
+    9.8 GiB XXL stack (the CLI's ``_device_committed`` path OOMed at every XXL duration
+    while the commit-free direct path ran fine). Incremental move bounds the transient to
+    one leaf (~340 MB max for the stacked block trees)."""
     space = jax.memory.Space.Host if memory_kind == "pinned_host" else jax.memory.Space.Device
-    return jax.tree.map(lambda x: jax.device_put(x, space), tree)
+
+    def move(x):
+        y = jax.device_put(x, space)
+        if isinstance(y, jax.Array) and y is not x:
+            y.block_until_ready()
+            if isinstance(x, jax.Array) and not x.is_deleted():
+                x.delete()
+        return y
+
+    return jax.tree.map(move, tree)
 
 
 def offload_params(params: Dict) -> Dict:
-    """Move a param tree to host memory (phase ping-pong: encoders off while denoising)."""
+    """Move a param tree to host memory (phase ping-pong: encoders off while denoising).
+
+    NOTE: the source tree's buffers are deleted as the move progresses (see ``_put``) —
+    callers must replace their reference with the returned tree."""
     if not host_memory_available():
         logger.info("pinned_host memory kind unavailable; offload is a no-op on this backend")
         return params
@@ -93,7 +114,7 @@ def offload_params(params: Dict) -> Dict:
 
 
 def restore_params(params: Dict) -> Dict:
-    """Move a param tree back to device HBM."""
+    """Move a param tree back to device HBM (incremental; see ``_put``)."""
     if not host_memory_available():
         return params
     return _put(params, "device")

@@ -61,6 +61,13 @@ class GenerationResult:
 
 _decode_jit = jax.jit(dac_vae.decode, static_argnames=("cfg",))
 
+# Above this latent length the fused program decodes in chunks (dac_vae.decode_chunked):
+# exact output, ~1/5 the fp32 decode temps. 1536 frames ~= 30 s; the 16 GiB-chip killer is
+# 60 s XXL bf16 (four 1.37 GiB decode intermediates, ROADMAP long-form entry). Shorter runs
+# keep the single full-length decode XLA already fuses well.
+_DECODE_CHUNK_THRESHOLD = 1536
+_DECODE_CHUNK_FRAMES = 512
+
 
 def generate_audio(
     bundle: ModelBundle,
@@ -78,11 +85,17 @@ def generate_audio(
     attn_impl: str = "auto",
     text_bucket: Optional[int] = None,
     return_latents: bool = False,
+    fetch_pcm16: bool = True,
 ) -> GenerationResult:
     """Generate Foley audio from prepared text features (+ optional visual features).
 
     T2A (no video): ``clip_feat``/``sync_feat`` default to the model's learned empty
     sequences with duration-derived lengths (``nodes.py:322-338``).
+
+    ``fetch_pcm16`` (default): the fused program emits 16-bit PCM and the host dequantizes
+    (``pcm/32767``) — the written WAV bytes are identical to the float path's (write_wav is
+    16-bit PCM either way) at half the device->host transfer. ``False`` restores the full
+    fp32 waveform fetch for bit-level float comparisons.
     """
     cfg = bundle.pipeline_cfg
     t0 = time.perf_counter()
@@ -130,14 +143,18 @@ def generate_audio(
         offload_fetch=bundle.offload_fetch,
         offload_prefetch=bundle.offload_prefetch,
         progress=bundle.progress,
+        decode_chunk_frames=_DECODE_CHUNK_FRAMES if latent_len > _DECODE_CHUNK_THRESHOLD else None,
+        output_pcm16=fetch_pcm16,
     )
-    audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32
+    audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32 (or int16 PCM)
     t2 = time.perf_counter()
 
     # Trim by *samples* (the reference's channel-dim slice at utils.py:257 is a no-op bug;
     # see SURVEY.md Appendix B).
     n_samples = int(duration_s * cfg.dac.sample_rate)
     audio_np = np.asarray(audio)[:, :n_samples, 0]  # [B, T]
+    if fetch_pcm16:
+        audio_np = audio_np.astype(np.float32) / 32767.0
     audio_np = audio_np[:, None, :]  # [B, C=1, T] AUDIO layout
 
     return GenerationResult(

@@ -140,6 +140,7 @@ def denoise_latents(
     static_argnames=(
         "cfg", "diffusion", "dac_cfg", "num_steps", "solver", "use_cfg", "attn_impl",
         "compute_dtype", "begin_index", "offload_fetch", "offload_prefetch", "progress",
+        "decode_chunk_frames", "output_pcm16",
     ),
 )
 def denoise_and_decode(
@@ -162,6 +163,8 @@ def denoise_and_decode(
     offload_fetch: bool = False,
     offload_prefetch: int = 1,
     progress: bool = False,
+    decode_chunk_frames: Optional[int] = None,
+    output_pcm16: bool = False,
 ):
     """Denoise + DAC decode as ONE program: a single host->device dispatch per generation
     (each dispatch costs tens of ms of round-trip latency on tunneled TPU runtimes).
@@ -183,7 +186,18 @@ def denoise_and_decode(
     if latent_stats is not None:
         mean, std = latent_stats
         raw = final_latents * std + mean
-    audio = dac_vae.decode(dac_params, raw, dac_cfg)
+    if decode_chunk_frames:
+        # Long-form memory valve: chunked decode trims the fp32 decode temps to ~one
+        # window's worth (exact — see dac_vae.decode_chunked). 60 s XXL bf16 OOMs without it.
+        audio = dac_vae.decode_chunked(dac_params, raw, dac_cfg, decode_chunk_frames)
+    else:
+        audio = dac_vae.decode(dac_params, raw, dac_cfg)
+    if output_pcm16:
+        # Device-side 16-bit PCM with write_wav's exact rounding (clip -> *32767 ->
+        # round-half-even, io/native.py:87): the WAV bytes are identical to the float path's,
+        # at half the device->host bytes. On tunneled runtimes the [B, 240k] fp32 fetch is a
+        # measured ~80 ms of a 5 s generation (ROADMAP host-prep entry).
+        audio = jnp.round(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
     return final_latents, audio
 
 

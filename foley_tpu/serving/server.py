@@ -174,8 +174,7 @@ class FoleyService:
         return self.durations[-1]
 
     # -- V2A inputs -------------------------------------------------------------
-    @staticmethod
-    def _frames_from_request(request: Dict):
+    def _frames_from_request(self, request: Dict):
         """Decode a request's video input, if any -> ([T,H,W,3] float [0,1], fps)."""
         fps = float(request.get("frames_fps", 16.0))
         if "frames_b64" in request:

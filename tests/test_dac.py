@@ -30,6 +30,26 @@ def test_decode_shape_and_range(params):
     assert np.all(np.isfinite(a)) and np.all(np.abs(a) <= 1.0)  # tanh output
 
 
+@pytest.mark.parametrize(
+    "T,chunk",
+    [
+        (200, 48),   # head + interiors + tail, uneven tail (200 = 4*48 + 8 < ov -> merged)
+        (96, 48),    # n == 2: head + tail only
+        (150, 48),   # interior windows present, tail 6 < ov merged into last window
+        (40, 48),    # T <= chunk: falls back to full decode
+        (113, 37),   # prime-ish sizes
+    ],
+)
+def test_decode_chunked_exact(params, T, chunk):
+    """Chunked decode is bit-level-close to full decode (overlap >> receptive field)."""
+    b = 2 if T == 150 else 1  # one case exercises the batched reshape path
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(b, T, CFG.latent_dim)).astype(np.float32))
+    full = np.asarray(dac_vae.decode(params, z, CFG))
+    chunked = np.asarray(dac_vae.decode_chunked(params, z, CFG, chunk, overlap_frames=16))
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(chunked, full, atol=1e-5, rtol=1e-5)
+
+
 def test_encode_shape(params):
     T = 2 * CFG.hop_length
     audio = jnp.asarray(np.random.default_rng(1).normal(size=(1, T, 1)).astype(np.float32) * 0.1)

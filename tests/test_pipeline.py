@@ -53,6 +53,23 @@ def test_t2a_generation_end_to_end(bundle):
     assert np.all(np.abs(res.audio_batch) <= 1.0)
 
 
+def test_pcm16_fetch_identical_wav_bytes(bundle, tmp_path):
+    """The default PCM16 device fetch writes byte-identical WAVs to the fp32 fetch path."""
+    from foley_tpu.io.audio import write_wav
+
+    text, uncond = _text()
+    kw = dict(duration_s=1.0, guidance_scale=4.5, num_inference_steps=2, batch_size=1,
+              seed=3, text_bucket=16)
+    pcm = generate_audio(bundle, text, uncond, **kw)                      # fetch_pcm16=True
+    f32 = generate_audio(bundle, text, uncond, fetch_pcm16=False, **kw)
+    p1, p2 = tmp_path / "pcm.wav", tmp_path / "f32.wav"
+    write_wav(str(p1), pcm.audio_first[0], pcm.sample_rate)
+    write_wav(str(p2), f32.audio_first[0], f32.sample_rate)
+    assert p1.read_bytes() == p2.read_bytes()
+    # dequantized floats are within one 16-bit LSB of the full-precision waveform
+    assert np.abs(pcm.audio_batch - f32.audio_batch).max() <= 1.0 / 32767.0
+
+
 def test_seed_determinism_and_variation(bundle):
     text, uncond = _text()
     kw = dict(duration_s=1.0, guidance_scale=4.5, num_inference_steps=2, batch_size=1,

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--frame_rate", type=float, default=24.0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--preprocess", default="device", choices=["device", "pil"])
+    ap.add_argument("--overlap", action="store_true",
+                    help="device mode with the production overlap schedule: Synchformer "
+                         "frame upload dispatched before the SigLIP2 ViT runs, no host "
+                         "materialization between phases (matches nodes._encode_video)")
     args = ap.parse_args()
 
     import jax
@@ -83,17 +87,29 @@ def main():
         segs = sync_segments(f25) if args.preprocess == "pil" else None
         t["resample_s"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        clip_feat = np.asarray(sig.encode(f8))  # preprocess (chosen mode) + ViT
-        t["siglip2_s"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        if args.preprocess == "device":
-            # unique-frame uint8 transfer + on-device segmentation gather
-            sync_feat = np.asarray(synchformer.encode_frames_device(sync, f25))
+        if args.overlap:
+            # production schedule (nodes._encode_video): the big Synchformer frame upload
+            # is dispatched async BEFORE the SigLIP2 ViT occupies the chip; features stay
+            # on-device (no host round trip). Phase walls measure dispatch completion
+            # points, so only features_s/total_s are meaningful here.
+            t0 = time.perf_counter()
+            preloaded = synchformer.upload_frames_async(f25)
+            clip_feat = sig.encode(f8)
+            sync_feat = synchformer.encode_frames_device(sync, f25, preloaded_u8=preloaded)
+            clip_feat, sync_feat = jax.block_until_ready((clip_feat, sync_feat))
+            t["features_s"] = time.perf_counter() - t0
         else:
-            sync_feat = np.asarray(synchformer.encode_segments(sync, segs))
-        t["synchformer_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            clip_feat = np.asarray(sig.encode(f8))  # preprocess (chosen mode) + ViT
+            t["siglip2_s"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            if args.preprocess == "device":
+                # unique-frame uint8 transfer + on-device segmentation gather
+                sync_feat = np.asarray(synchformer.encode_frames_device(sync, f25))
+            else:
+                sync_feat = np.asarray(synchformer.encode_segments(sync, segs))
+            t["synchformer_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         result = generate_audio(
