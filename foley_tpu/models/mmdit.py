@@ -318,19 +318,26 @@ def triple_block_apply(
     sync_vec: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     text_kv=None,
+    mods=None,
 ):
     """TwoStreamCABlock (reference ``hifi_foley.py:179-333``). Returns (audio, v_cond).
 
     ``text_kv``: optional precomputed (t_k, t_v) for this block (``precompute_text_kv``);
-    when given, ``cond`` is unused."""
+    when given, ``cond`` is unused.
+    ``mods``: optional precomputed (a_mod, v_mod) [1, 9H] adaLN vectors for this block at
+    this timestep (``precompute_triple_mods``); when given, the ``audio_mod``/``v_cond_mod``
+    weights are not read (they broadcast over the CFG batch — all rows share the timestep)."""
     nh, eps = cfg.num_heads, cfg.qk_norm_eps
     audio_len, visual_len = audio.shape[1], v_cond.shape[1]
 
-    mod_src = sync_vec if sync_vec is not None else vec
-    a_mod = apply_dense(params["audio_mod"], jax.nn.silu(mod_src))
+    if mods is not None:
+        a_mod, v_mod = mods
+    else:
+        mod_src = sync_vec if sync_vec is not None else vec
+        a_mod = apply_dense(params["audio_mod"], jax.nn.silu(mod_src))
+        v_mod = apply_dense(params["v_cond_mod"], jax.nn.silu(vec))
     (a1_shift, a1_scale, a1_gate, a2_shift, a2_scale, a2_gate,
      a3_shift, a3_scale, a3_gate) = jnp.split(a_mod, 9, axis=-1)
-    v_mod = apply_dense(params["v_cond_mod"], jax.nn.silu(vec))
     (v1_shift, v1_scale, v1_gate, v2_shift, v2_scale, v2_gate,
      v3_shift, v3_scale, v3_gate) = jnp.split(v_mod, 9, axis=-1)
 
@@ -589,11 +596,49 @@ def precompute_text_kv(params: Dict, cond: jnp.ndarray, cfg: MMDiTConfig):
     return t_k, t_v
 
 
+def precompute_triple_mods(params: Dict, timesteps: jnp.ndarray, cfg: MMDiTConfig,
+                           compute_dtype):
+    """Per-generation precompute of every triple block's adaLN modulation vectors.
+
+    With ``sync_modulation`` off (every shipped config), the triple-stream modulation
+    source is the timestep embedding alone (``mod_src = vec``; reference
+    ``hifi_foley.py:212-216`` computes it per forward) — and the denoise schedule's
+    timesteps are static per generation. Computing all S steps x N blocks of
+    (audio_mod, v_cond_mod) up front removes the two [H, 9H] adaLN weight matrices from
+    every step's HBM weight stream — 1.53 GiB/step at XXL, 16% of the weight bytes that
+    bound bf16 batch-1 step time (ROADMAP op-profile entry) — for ~50 MB of precomputed
+    vectors. Batch-free: every CFG row shares the timestep, so one vector per (step,
+    block) broadcasts over the batch at use (``modulate``'s [1, 9H] path).
+
+    Returns (a_mods, v_mods), each [S, N, 1, 9H] in the compute dtype — step-major for the
+    denoise step scan, block axis for the inner stack scan, singleton batch for broadcast.
+    None when the triple stack is placement-split (streamed blocks compute in-block) or
+    the modulation source is per-token (``sync_modulation``).
+    """
+    from foley_tpu.parallel.offload import is_split_stack
+
+    stack = params["triple_blocks"]
+    if cfg.sync_modulation or is_split_stack(stack):
+        return None
+    vec = apply_time_in(params["time_in"], timesteps, compute_dtype)  # [S, H]
+    sv = jax.nn.silu(vec)
+    a_mods = jax.vmap(lambda p: apply_dense(p, sv))(stack["audio_mod"])   # [N, S, 9H]
+    v_mods = jax.vmap(lambda p: apply_dense(p, sv))(stack["v_cond_mod"])
+    reorder = lambda m: jnp.swapaxes(m, 0, 1)[:, :, None, :]  # [S, N, 1, 9H]
+    return reorder(a_mods), reorder(v_mods)
+
+
 def apply_final_layer(params: Dict, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """FinalLayer1D (reference ``mlp_layers.py:78-101``)."""
-    mod = apply_dense(params["adaLN"], jax.nn.silu(c))
-    shift, scale = jnp.split(mod, 2, axis=-1)
-    x = modulate_ref(layer_norm(x), shift, scale)
+    if x.ndim == 3 and c.ndim == 3:
+        # Per-token c makes shift/scale 3-D, which ``modulate_ref`` DROPS (the reference's
+        # exact semantics — its checkpoints trained with this no-op; see modulate_ref).
+        # Statically skip the adaLN dense whose output would be discarded.
+        x = modulate_ref(layer_norm(x), None, None)
+    else:
+        mod = apply_dense(params["adaLN"], jax.nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate_ref(layer_norm(x), shift, scale)
     return apply_dense(params["linear"], x)
 
 
@@ -628,6 +673,7 @@ def apply(
     offload_fetch: bool = False,
     offload_prefetch: int = 1,
     text_kv=None,
+    triple_mods=None,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -698,9 +744,21 @@ def apply(
     if cfg.add_sync_feat_to_audio:
         audio = audio + sync_add  # injected before block 0 (reference :838-839)
 
+    # Per-block hoisted operands ride the stack scan as extra scanned xs, in a fixed
+    # order: [t_k, t_v] (precompute_text_kv) then [a_mod, v_mod] (precompute_triple_mods).
+    extras = ()
+    if text_kv is not None:
+        extras += tuple(text_kv)
+    if triple_mods is not None:
+        extras += tuple(triple_mods)
+
     def triple_body(fetch):
         def body(carry, xs):
-            block_params, block_text_kv = (xs, None) if text_kv is None else (xs[0], xs[1:])
+            block_params, rest = (xs, ()) if not extras else (xs[0], xs[1:])
+            block_text_kv = None
+            if text_kv is not None:
+                block_text_kv, rest = rest[:2], rest[2:]
+            block_mods = rest[:2] if triple_mods is not None else None
             if fetch:
                 # Stream this block's params from pinned host memory into HBM (the block-swap
                 # analog, parallel/offload.py). NOT unconditional: device_put(Space.Device) on
@@ -711,14 +769,14 @@ def apply(
             a, vc = triple_block_apply(
                 block_params, a, cond, vc, vec, ropes, cfg,
                 attn_mask=attn_mask, sync_vec=sync_vec, attn_impl=attn_impl,
-                text_kv=block_text_kv,
+                text_kv=block_text_kv, mods=block_mods,
             )
             return (a, vc), None
         return body
 
     audio, v_cond = _run_stack(
         params["triple_blocks"], (audio, v_cond), triple_body, remat, offload_fetch,
-        prefetch_depth=offload_prefetch, extra_xs=text_kv,
+        prefetch_depth=offload_prefetch, extra_xs=extras or None,
     )
 
     # ---- per-token modulation vector for single blocks (reference :860-867) ----
@@ -727,7 +785,10 @@ def apply(
     elif cfg.add_sync_feat_to_audio:
         vec_tok = sync_add + vec[:, None, :]
     else:
-        vec_tok = jnp.broadcast_to(vec[:, None, :], (bs, audio_len, vec.shape[-1]))
+        # Reference keeps vec 2-D here: single-block modulation is per-batch, and the
+        # 2-D vector reaches the final layer where adaLN modulation APPLIES (3-D would be
+        # silently dropped by modulate_ref — and a [B*T, H] GEMM instead of [B, H]).
+        vec_tok = vec
 
     def single_body(fetch):
         def body(carry, block_params):
@@ -742,6 +803,9 @@ def apply(
                        prefetch_depth=offload_prefetch)
 
     # ---- final layer (reference :916-923); vec is sync_vec if sync_modulation ----
+    # 3-D final_vec (either sync flag): reference modulate drops the per-token shift/scale
+    # (see modulate_ref) and apply_final_layer skips the dead adaLN dense; 2-D (no flags):
+    # the modulation applies, matching the reference's 2-D vec path.
     final_vec = sync_vec if sync_vec is not None else vec_tok
     out = apply_final_layer(params["final_layer"], audio, final_vec)  # [B, T, p*C]
     if cfg.patch_size != 1:

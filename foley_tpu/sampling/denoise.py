@@ -101,11 +101,16 @@ def denoise_latents(
     # once per generation here instead of 18x per step inside it (mmdit.precompute_text_kv;
     # None when the triple stack is host-offloaded — streamed blocks compute in-block).
     text_kv = mmdit.precompute_text_kv(params, cond, cfg)
+    # Hoist the triple blocks' adaLN vectors for the WHOLE (static) timestep schedule:
+    # removes the [H, 9H] audio_mod/v_cond_mod weight reads (16% of XXL weight bytes) from
+    # every step (mmdit.precompute_triple_mods; None when offloaded or per-token-modulated).
+    triple_mods = mmdit.precompute_triple_mods(params, timesteps, cfg, compute_dtype)
 
     n_steps = int(timesteps.shape[0])
 
     def step_fn(carry, xs):
-        t, step_i = xs
+        t, step_i = xs[0], xs[1]
+        step_mods = (xs[2], xs[3]) if triple_mods is not None else None
         lat, state = carry  # lat: fp32
         if progress:
             # per-step tick, the reference's ProgressBar UX (utils.py:201,247). A host
@@ -118,7 +123,7 @@ def denoise_latents(
         v = mmdit.apply(
             params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
             attn_impl=attn_impl, offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
-            text_kv=text_kv,
+            text_kv=text_kv, triple_mods=step_mods,
         ).astype(jnp.float32)
         if use_cfg:
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
@@ -131,6 +136,8 @@ def denoise_latents(
         state0 = state0._replace(step_index=jnp.int32(begin_index))
     init = (latents.astype(jnp.float32), state0)
     xs = (timesteps, jnp.arange(n_steps, dtype=jnp.int32))
+    if triple_mods is not None:
+        xs = xs + triple_mods  # [S, N, 1, 9H] each: per-step slices feed the block scan
     (final_latents, _), _ = jax.lax.scan(step_fn, init, xs)
     return final_latents
 

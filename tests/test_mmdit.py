@@ -228,3 +228,52 @@ def test_text_kv_hoist_matches_in_block_compute():
         assert mmdit.precompute_text_kv(split, args[2], cfg) is None
         got_split = np.asarray(mmdit.apply(split, *args, cfg))
         np.testing.assert_allclose(got_split, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_triple_mods_hoist_matches_in_block_compute():
+    """apply(triple_mods=precompute_triple_mods(...)) == apply(): the adaLN hoist moves the
+    same silu+dense math out of the step scan (batch-free — rows share the timestep)."""
+    cfg = TINY.model
+    params = mmdit.init(jax.random.PRNGKey(11), cfg)
+    # zero-init leaves (mod MLPs, final layer) would make the comparison vacuous: randomize
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(12), len(leaves))
+    leaves = [
+        jax.random.normal(k, l.shape, l.dtype) * 0.02 if not np.any(np.asarray(l)) else l
+        for k, l in zip(keys, leaves)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+
+    rng = np.random.default_rng(11)
+    t_shared = 500.0
+    args = (
+        jnp.asarray(rng.normal(size=(2, 20, cfg.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([t_shared, t_shared], jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 8, cfg.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 4, cfg.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 8, cfg.sync_feat_dim)).astype(np.float32)),
+    )
+    ref = np.asarray(mmdit.apply(params, *args, cfg))
+    assert np.any(ref)  # randomized final layer: non-zero output, comparison is meaningful
+
+    mods = mmdit.precompute_triple_mods(params, jnp.asarray([t_shared], jnp.float32), cfg,
+                                        jnp.float32)
+    assert mods is not None
+    a_mods, v_mods = mods
+    assert a_mods.shape == (1, cfg.depth_triple_blocks, 1, 9 * cfg.hidden_size)
+    got = np.asarray(mmdit.apply(params, *args, cfg, triple_mods=(a_mods[0], v_mods[0])))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # both hoists together (the denoise_latents configuration)
+    tkv = mmdit.precompute_text_kv(params, args[2], cfg)
+    got_both = np.asarray(
+        mmdit.apply(params, *args, cfg, text_kv=tkv, triple_mods=(a_mods[0], v_mods[0])))
+    np.testing.assert_allclose(got_both, ref, atol=1e-5, rtol=1e-5)
+
+    # host-offloaded (split) stacks decline the hoist
+    from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
+
+    if host_memory_available():
+        split = offload_block_suffix(params, cfg.depth_single_blocks + 1)
+        assert mmdit.precompute_triple_mods(
+            split, jnp.asarray([t_shared], jnp.float32), cfg, jnp.float32) is None

@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def chain_time_ms(fn, x0, iters_lo=8, iters_hi=40, reps=5):
+def chain_time_ms(fn, x0, iters_lo=25, iters_hi=250, reps=7):
     """Per-call ms of ``fn`` via scan-chain slope between two chain lengths."""
     import jax
 
@@ -100,8 +100,9 @@ def main():
         lo, hi = med(steps), med(50)
         return 1e3 * (hi - lo) / (50 - steps)
 
-    for impl in ("xla", "pallas_fused"):
-        emit(measure=f"denoise_step_ms_{impl}_5s", value_ms=round(step_ms(impl), 2))
+    if "--micro_only" not in sys.argv:
+        for impl in ("xla", "pallas_fused"):
+            emit(measure=f"denoise_step_ms_{impl}_5s", value_ms=round(step_ms(impl), 2))
 
     # ---- joint-attention microbench (B=2 CFG, Lq=Lk=visual+audio) --------------------
     b, h, d = 2, cfg.model.num_heads, cfg.model.head_dim
