@@ -484,9 +484,16 @@ def single_block_apply(
     cfg: MMDiTConfig,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
-    """SingleStreamBlock (reference ``hifi_foley.py:335-390``); ``vec`` is per-token [B, T, H]."""
+    """SingleStreamBlock (reference ``hifi_foley.py:335-390``); ``vec`` is per-token [B, T, H]
+    (2-D [B, H] when neither sync flag is set — per-batch modulation, reference parity).
+
+    ``vec`` may carry HALF of ``x``'s batch rows (``apply(visual_rows_shared=True)``: the
+    CFG halves of the modulation input are identical) — the modulation GEMM then runs on
+    the half and its result is tiled, halving the block's biggest non-attention GEMM."""
     nh, eps = cfg.num_heads, cfg.qk_norm_eps
     mod = apply_dense(params["modulation"], jax.nn.silu(vec))
+    if mod.shape[0] != x.shape[0]:
+        mod = jnp.concatenate([mod] * (x.shape[0] // mod.shape[0]), axis=0)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
 
     x_n = modulate(layer_norm(x), shift_msa, scale_msa)
@@ -674,6 +681,7 @@ def apply(
     offload_prefetch: int = 1,
     text_kv=None,
     triple_mods=None,
+    visual_rows_shared: bool = False,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -686,25 +694,40 @@ def apply(
         cond_mask: optional [B, L_text] bool text mask (only used when
             ``cfg.use_attention_mask``; XXL/XL disable it).
         remat: rematerialize blocks (gradient checkpointing) for training.
+        visual_rows_shared: STATIC promise that the two CFG halves of ``clip_feat`` and
+            ``sync_feat`` are identical row-for-row (T2A: the cond visuals ARE the learned
+            empty sequences the uncond half uses; ``generate_audio``/``generate_audio_multi``
+            set it). The visual-derived projections (sync_in chain, visual_proj, and every
+            single block's per-token modulation GEMM — 13% of XXL step FLOPs) then compute
+            on the first half and tile. Exact; caller-asserted, never inferred.
 
     Returns velocity [B, T, C_latent].
     """
     bs, tl = x.shape[0], x.shape[1] // cfg.patch_size
+    # rows-shared contract: [uncond_half; cond_half] with identical visual halves
+    assert not visual_rows_shared or bs % 2 == 0, bs
+    half = bs // 2
+    tile2 = lambda a: jnp.concatenate([a, a], axis=0)
 
     # ---- time & sync conditioning ----
     vec = apply_time_in(params["time_in"], t, x.dtype)  # [B, H]
 
     sync_vec = None
     sync_add = None
+    sync_add_half = None  # rows-shared: [B/2, T, H], single blocks tile after their mod GEMM
     if cfg.sync_modulation or cfg.add_sync_feat_to_audio:
         assert sync_feat.shape[1] % 8 == 0, sync_feat.shape
-        s = sync_feat.shape[1] // 8
-        sf = sync_feat.reshape(bs, s, 8, cfg.sync_feat_dim) + params["sync_pos_emb"].astype(sync_feat.dtype)
-        sf = sf.reshape(bs, s * 8, cfg.sync_feat_dim)
+        sfin = sync_feat[:half] if visual_rows_shared else sync_feat
+        b_s, s = sfin.shape[0], sync_feat.shape[1] // 8
+        sf = sfin.reshape(b_s, s, 8, cfg.sync_feat_dim) + params["sync_pos_emb"].astype(sync_feat.dtype)
+        sf = sf.reshape(b_s, s * 8, cfg.sync_feat_dim)
         sf = apply_dense(params["sync_in"]["linear"], sf)
         sf = jax.nn.silu(sf)
         sf = apply_conv_mlp(params["sync_in"]["conv_mlp"], sf, kernel_size=cfg.sync_in_ksz)
-        sf = nearest_exact_resize(sf, tl, axis=1)  # [B, T, H]
+        sf = nearest_exact_resize(sf, tl, axis=1)  # [B or B/2, T, H]
+        if visual_rows_shared:
+            sync_add_half = sf
+            sf = tile2(sf)
         if cfg.sync_modulation:
             sync_vec = sf + vec[:, None, :]
         else:
@@ -715,11 +738,14 @@ def apply(
         cond = apply_dense(params["cond_in"]["linear_2"],
                            jax.nn.silu(apply_dense(params["cond_in"]["linear_1"], cond)))
     audio = apply_conv1d(params["audio_embedder"], x, stride=cfg.patch_size)  # [B, T, H]
+    clip_in = clip_feat[:half] if visual_rows_shared else clip_feat
     v_cond = swiglu(
-        apply_dense(params["visual_proj"]["w1"], clip_feat),
-        apply_dense(params["visual_proj"]["w3"], clip_feat),
+        apply_dense(params["visual_proj"]["w1"], clip_in),
+        apply_dense(params["visual_proj"]["w3"], clip_in),
     )
     v_cond = apply_dense(params["visual_proj"]["w2"], v_cond)
+    if visual_rows_shared:
+        v_cond = tile2(v_cond)  # halves identical only at entry: the stream diverges in-block
 
     audio_len, visual_len, text_len = audio.shape[1], v_cond.shape[1], cond.shape[1]
     ropes = build_rope_tables(cfg, audio_len, visual_len, text_len)
@@ -780,21 +806,29 @@ def apply(
     )
 
     # ---- per-token modulation vector for single blocks (reference :860-867) ----
+    vec_tok_mod = None  # rows-shared fast path: [B/2, T, H] — blocks tile after the GEMM
     if cfg.sync_modulation:
         vec_tok = sync_vec
     elif cfg.add_sync_feat_to_audio:
         vec_tok = sync_add + vec[:, None, :]
+        if visual_rows_shared:
+            # vec rows are identical too (one timestep per step), so the per-token
+            # modulation input's CFG halves match: run each block's [B*T, H] x [H, 6H]
+            # mod GEMM on one half (13% of XXL step FLOPs halved).
+            vec_tok_mod = sync_add_half + vec[:half, None, :]
     else:
         # Reference keeps vec 2-D here: single-block modulation is per-batch, and the
         # 2-D vector reaches the final layer where adaLN modulation APPLIES (3-D would be
         # silently dropped by modulate_ref — and a [B*T, H] GEMM instead of [B, H]).
         vec_tok = vec
 
+    mod_vec = vec_tok_mod if vec_tok_mod is not None else vec_tok
+
     def single_body(fetch):
         def body(carry, block_params):
             if fetch:
                 block_params = jax.device_put(block_params, jax.memory.Space.Device)
-            h = single_block_apply(block_params, carry, vec_tok, ropes, cfg,
+            h = single_block_apply(block_params, carry, mod_vec, ropes, cfg,
                                    attn_impl=attn_impl)
             return h, None
         return body

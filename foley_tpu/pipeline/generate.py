@@ -100,7 +100,8 @@ def generate_audio(
     cfg = bundle.pipeline_cfg
     t0 = time.perf_counter()
 
-    if clip_feat is None or sync_feat is None:
+    t2a = clip_feat is None or sync_feat is None
+    if t2a:
         clip_feat, sync_feat = t2a_features(bundle.mmdit_params, cfg, duration_s, batch_size=1)
 
     use_cfg = guidance_scale > 1.0
@@ -145,6 +146,9 @@ def generate_audio(
         progress=bundle.progress,
         decode_chunk_frames=_DECODE_CHUNK_FRAMES if latent_len > _DECODE_CHUNK_THRESHOLD else None,
         output_pcm16=fetch_pcm16,
+        # T2A: the cond visuals ARE the learned empty sequences the uncond half uses, so
+        # the CFG halves are identical — the forward halves the visual-derived GEMMs.
+        visual_rows_shared=t2a and use_cfg,
     )
     audio = jax.block_until_ready(audio)  # [B, samples, 1] fp32 (or int16 PCM)
     t2 = time.perf_counter()
@@ -225,6 +229,7 @@ def generate_audio_multi(
         solver=sampler, use_cfg=use_cfg, attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
         offload_prefetch=bundle.offload_prefetch, progress=bundle.progress,
+        visual_rows_shared=use_cfg,  # T2A-only entry point: [clip; clip] halves by construction
     )
     raw = final_latents
     if bundle.latent_stats is not None:

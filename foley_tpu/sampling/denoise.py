@@ -51,6 +51,7 @@ class DenoiseFeatures(NamedTuple):
     static_argnames=(
         "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
         "begin_index", "offload_fetch", "offload_prefetch", "progress",
+        "visual_rows_shared",
     ),
 )
 def denoise_latents(
@@ -70,6 +71,7 @@ def denoise_latents(
     offload_fetch: bool = False,
     offload_prefetch: int = 1,
     progress: bool = False,
+    visual_rows_shared: bool = False,
 ) -> jnp.ndarray:
     """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
 
@@ -78,6 +80,9 @@ def denoise_latents(
     ``begin_index`` starts mid-schedule (the reference's ``set_begin_index`` /
     ``index_for_timestep`` img2img capability, ``scheduling_flow_match_discrete.py:106-192``):
     pass latents already noised to ``sigmas[begin_index]`` for audio-to-audio editing.
+    ``visual_rows_shared`` (static): promise that the CFG halves of the visual features are
+    identical (T2A — cond visuals ARE the learned empty sequences); the forward then halves
+    the visual-derived GEMMs (``mmdit.apply``). Only meaningful with ``use_cfg``.
     """
     sigmas = get_sigmas(
         num_steps,
@@ -124,6 +129,7 @@ def denoise_latents(
             params, latent_input, t_expand, cond, clip_feat, sync_feat, cfg,
             attn_impl=attn_impl, offload_fetch=offload_fetch, offload_prefetch=offload_prefetch,
             text_kv=text_kv, triple_mods=step_mods,
+            visual_rows_shared=visual_rows_shared and use_cfg,
         ).astype(jnp.float32)
         if use_cfg:
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
@@ -147,7 +153,7 @@ def denoise_latents(
     static_argnames=(
         "cfg", "diffusion", "dac_cfg", "num_steps", "solver", "use_cfg", "attn_impl",
         "compute_dtype", "begin_index", "offload_fetch", "offload_prefetch", "progress",
-        "decode_chunk_frames", "output_pcm16",
+        "decode_chunk_frames", "output_pcm16", "visual_rows_shared",
     ),
 )
 def denoise_and_decode(
@@ -172,6 +178,7 @@ def denoise_and_decode(
     progress: bool = False,
     decode_chunk_frames: Optional[int] = None,
     output_pcm16: bool = False,
+    visual_rows_shared: bool = False,
 ):
     """Denoise + DAC decode as ONE program: a single host->device dispatch per generation
     (each dispatch costs tens of ms of round-trip latency on tunneled TPU runtimes).
@@ -188,6 +195,7 @@ def denoise_and_decode(
         cfg=cfg, diffusion=diffusion, num_steps=num_steps, solver=solver, use_cfg=use_cfg,
         attn_impl=attn_impl, compute_dtype=compute_dtype, begin_index=begin_index,
         offload_fetch=offload_fetch, offload_prefetch=offload_prefetch, progress=progress,
+        visual_rows_shared=visual_rows_shared,
     )
     raw = final_latents
     if latent_stats is not None:

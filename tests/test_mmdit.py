@@ -277,3 +277,41 @@ def test_triple_mods_hoist_matches_in_block_compute():
         split = offload_block_suffix(params, cfg.depth_single_blocks + 1)
         assert mmdit.precompute_triple_mods(
             split, jnp.asarray([t_shared], jnp.float32), cfg, jnp.float32) is None
+
+
+def test_visual_rows_shared_matches_full_compute():
+    """apply(visual_rows_shared=True) == apply() when the CFG halves of clip/sync (and the
+    timestep) are identical — the T2A structure. The flag halves the visual-derived GEMMs
+    (sync_in chain, visual_proj, per-token single-block modulation) and tiles."""
+    cfg = TINY.model
+    params = mmdit.init(jax.random.PRNGKey(21), cfg)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(22), len(leaves))
+    leaves = [
+        jax.random.normal(k, l.shape, l.dtype) * 0.02 if not np.any(np.asarray(l)) else l
+        for k, l in zip(keys, leaves)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+
+    rng = np.random.default_rng(21)
+    half = lambda *shape: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    dup = lambda a: jnp.concatenate([a, a], axis=0)
+    x = dup(half(1, 20, cfg.audio_vae_latent_dim))      # CFG: latents duplicated
+    t = jnp.asarray([500.0, 500.0], jnp.float32)        # one timestep per step
+    cond = half(2, 8, cfg.condition_dim)                # text DIFFERS between halves
+    clip = dup(half(1, 4, cfg.clip_dim))
+    sync = dup(half(1, 8, cfg.sync_feat_dim))
+
+    ref = np.asarray(mmdit.apply(params, x, t, cond, clip, sync, cfg))
+    assert np.any(ref)
+    got = np.asarray(mmdit.apply(params, x, t, cond, clip, sync, cfg,
+                                 visual_rows_shared=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # and composed with both hoists (the denoise_latents T2A configuration)
+    tkv = mmdit.precompute_text_kv(params, cond, cfg)
+    mods = mmdit.precompute_triple_mods(params, jnp.asarray([500.0], jnp.float32), cfg,
+                                        jnp.float32)
+    got2 = np.asarray(mmdit.apply(params, x, t, cond, clip, sync, cfg,
+                                  visual_rows_shared=True, text_kv=tkv,
+                                  triple_mods=(mods[0][0], mods[1][0])))
+    np.testing.assert_allclose(got2, ref, atol=1e-5, rtol=1e-5)
