@@ -223,21 +223,25 @@ def generate_audio_multi(
     ]
     latents = jnp.concatenate(rows, axis=0)
 
-    final_latents = denoise_latents(
-        bundle.mmdit_params, latents, features, jnp.float32(guidance_scale),
-        cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
+    from foley_tpu.sampling.denoise import denoise_and_decode
+
+    # One fused program (single dispatch) + int16 PCM fetch, same as generate_audio.
+    final_latents, audio = denoise_and_decode(
+        bundle.mmdit_params, bundle.dac_params, latents, features,
+        jnp.float32(guidance_scale), bundle.latent_stats,
+        cfg=cfg.model, diffusion=cfg.diffusion, dac_cfg=cfg.dac,
+        num_steps=num_inference_steps,
         solver=sampler, use_cfg=use_cfg, attn_impl=attn_impl,
         compute_dtype=bundle.compute_dtype, offload_fetch=bundle.offload_fetch,
         offload_prefetch=bundle.offload_prefetch, progress=bundle.progress,
+        decode_chunk_frames=_DECODE_CHUNK_FRAMES if latent_len > _DECODE_CHUNK_THRESHOLD else None,
+        output_pcm16=True,
         visual_rows_shared=use_cfg,  # T2A-only entry point: [clip; clip] halves by construction
     )
-    raw = final_latents
-    if bundle.latent_stats is not None:
-        mean, std = bundle.latent_stats
-        raw = final_latents * std + mean
-    audio = jax.block_until_ready(_decode_jit(bundle.dac_params, raw, cfg.dac))
+    audio = jax.block_until_ready(audio)
     n_samples = int(duration_s * cfg.dac.sample_rate)
-    audio_np = np.asarray(audio)[:, :n_samples, 0][:, None, :]
+    audio_np = np.asarray(audio)[:, :n_samples, 0].astype(np.float32) / 32767.0
+    audio_np = audio_np[:, None, :]
     return GenerationResult(
         audio_first=audio_np[:1], audio_batch=audio_np, sample_rate=cfg.dac.sample_rate,
         latents=np.asarray(final_latents) if return_latents else None,
