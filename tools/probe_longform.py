@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Long-form e2e rates on the real TPU: generate_audio at 30 s and 60 s, XXL bf16,
+50-step Euler + CFG (run alone — TPU processes contend).
+
+Exercises the full production path: auto attn dispatch (pallas_fused at ≥1000 tokens),
+chunked DAC decode past 1536 latent frames, int16 PCM fetch, adaLN + text-K/V hoists,
+T2A CFG-half dedup. Prints one JSON line per duration.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    durations = [float(d) for d in sys.argv[1:]] or [30.0, 60.0]
+    import jax
+    import jax.numpy as jnp
+
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from foley_tpu.api.nodes import HunyuanModelLoader
+    from foley_tpu.configs import get_config
+    from foley_tpu.models import dac_vae
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    cfg = get_config("xxl")
+    fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
+    dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
+    bundle = ModelBundle(
+        mmdit_params=fm["params"], dac_params=dac_params, pipeline_cfg=cfg,
+        compute_dtype=jnp.bfloat16,
+    )
+    text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
+
+    for dur in durations:
+        def once(seed):
+            return generate_audio(
+                bundle, text, text, dur, guidance_scale=4.5, num_inference_steps=50,
+                sampler="euler", batch_size=1, seed=seed)
+
+        t0 = time.perf_counter()
+        r = once(0)  # compile + warm
+        compile_s = time.perf_counter() - t0
+        walls = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            r = once(i + 1)
+            walls.append(time.perf_counter() - t0)
+        wall = sorted(walls)[1]
+        a = r.audio_batch
+        print(json.dumps({
+            "measure": f"longform_{int(dur)}s_xxl_bf16_50step_cfg",
+            "wall_s": round(wall, 2),
+            "audio_sec_per_sec": round(dur / wall, 3),
+            "first_call_s": round(compile_s, 1),
+            "finite": bool(np.all(np.isfinite(a))),
+            "peak": float(np.abs(a).max()),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
