@@ -245,3 +245,25 @@ def test_progress_ticks(bundle):
     assert len(ticks) == 3, records
     assert any("denoise step 1/3" in m for m in ticks)
     np.testing.assert_array_equal(res_prog.audio_batch, res_quiet.audio_batch)
+
+
+def test_fused_program_chunked_decode_matches_full(bundle):
+    """denoise_and_decode(decode_chunk_frames=...) == the full-decode program: the
+    long-form memory valve (auto-enabled past _DECODE_CHUNK_THRESHOLD in generate_audio)
+    does not change the audio."""
+    from foley_tpu.sampling.denoise import DenoiseFeatures, denoise_and_decode, prepare_latents
+
+    rng = np.random.default_rng(5)
+    feats = DenoiseFeatures(
+        cond=jnp.asarray(rng.normal(size=(1, 8, CFG.model.condition_dim)).astype(np.float32)),
+        clip_feat=jnp.asarray(rng.normal(size=(1, 4, CFG.model.clip_dim)).astype(np.float32)),
+        sync_feat=jnp.asarray(rng.normal(size=(1, 8, CFG.model.sync_feat_dim)).astype(np.float32)),
+    )
+    lat = prepare_latents(jax.random.PRNGKey(2), 1, 150, CFG.model.audio_vae_latent_dim)
+    kw = dict(cfg=CFG.model, diffusion=CFG.diffusion, dac_cfg=CFG.dac, num_steps=2,
+              solver="euler", use_cfg=False, compute_dtype=jnp.float32)
+    g = jnp.float32(1.0)
+    _, full = denoise_and_decode(bundle.mmdit_params, bundle.dac_params, lat, feats, g, None, **kw)
+    _, chunked = denoise_and_decode(bundle.mmdit_params, bundle.dac_params, lat, feats, g, None,
+                                    decode_chunk_frames=48, **kw)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5, rtol=1e-5)
