@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import importlib
+import importlib.machinery
 import inspect
 import sys
 import types
@@ -31,6 +32,9 @@ REF_ROOT = "/root/reference"
 
 def _mk_module(name: str, **attrs) -> types.ModuleType:
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec probes (e.g. transformers'
+    # _is_package_available("timm")) see a well-formed module instead of raising
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for key, value in attrs.items():
         setattr(mod, key, value)
     sys.modules[name] = mod
@@ -73,7 +77,14 @@ class _ConfigMixin:
 
 
 class _ModelMixin(torch.nn.Module):
-    pass
+    @property
+    def dtype(self) -> torch.dtype:
+        """diffusers ModelMixin.dtype: first parameter's dtype (utils.py:143 reads it)."""
+        return next(self.parameters()).dtype
+
+    @property
+    def device(self) -> torch.device:
+        return next(self.parameters()).device
 
 
 class _SchedulerMixin:
@@ -81,7 +92,19 @@ class _SchedulerMixin:
 
 
 class _BaseOutput:
-    pass
+    """diffusers BaseOutput contract slice: int indexing walks the dataclass fields in
+    order (``scheduler.step(...)[0]`` in utils.py:246), str indexing reads by name."""
+
+    def __getitem__(self, key):
+        import dataclasses as _dc
+
+        if isinstance(key, str):
+            return getattr(self, key)
+        if _dc.is_dataclass(self):
+            values = tuple(getattr(self, f.name) for f in _dc.fields(self))
+        else:
+            values = tuple(vars(self).values())
+        return values[key]
 
 
 class _NullLogger:
@@ -102,8 +125,77 @@ class _ProgressBar:
         pass
 
 
+class _OmegaNode(dict):
+    """Attribute-access dict mirroring the slice of omegaconf the reference uses:
+    nested attribute reads (``cfg.VIT.EMBED_DIM``) and assignment
+    (``motionformer.py:105-110`` patches loaded cfg fields in place)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as exc:
+            raise AttributeError(name) from exc
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
+def _omega_wrap(obj):
+    if isinstance(obj, dict):
+        return _OmegaNode({k: _omega_wrap(v) for k, v in obj.items()})
+    if isinstance(obj, list):
+        return [_omega_wrap(v) for v in obj]
+    return obj
+
+
+class _OmegaConf:
+    @staticmethod
+    def load(path):
+        import yaml
+
+        with open(path) as f:
+            return _omega_wrap(yaml.safe_load(f))
+
+
+def _to_2tuple(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+def install_sync_stubs() -> None:
+    """Stubs for the Synchformer import chain's missing deps (omegaconf/timm/torchaudio).
+
+    Only loaders/initializers are stubbed: OmegaConf.load is a plain YAML reader feeding the
+    reference's own divided_224_16x4.yaml, timm contributes ``trunc_normal_`` (torch's own)
+    and ``to_2tuple`` (init-time only), and torchaudio is referenced solely in
+    ``synchformer.py``'s mel-spectrogram helpers, which the oracle tests never call.
+    """
+    for name in ("omegaconf", "timm", "torchaudio"):
+        if name in sys.modules and not getattr(sys.modules[name], "_foley_tpu_stub", False):
+            raise RuntimeError(f"real {name} present; oracle stubs would shadow it")
+    if "omegaconf" not in sys.modules:
+        _mk_module("omegaconf", OmegaConf=_OmegaConf, _foley_tpu_stub=True)
+    if "timm" not in sys.modules:
+        timm = _mk_module("timm", _foley_tpu_stub=True)
+        timm.layers = _mk_module(
+            "timm.layers", trunc_normal_=torch.nn.init.trunc_normal_, to_2tuple=_to_2tuple
+        )
+        timm.models = _mk_module("timm.models")
+        timm.models.layers = _mk_module(
+            "timm.models.layers", trunc_normal_=torch.nn.init.trunc_normal_, to_2tuple=_to_2tuple
+        )
+    if "torchaudio" not in sys.modules:
+        ta = _mk_module("torchaudio", _foley_tpu_stub=True)
+        ta.transforms = _mk_module(
+            "torchaudio.transforms",
+            MelSpectrogram=type("MelSpectrogram", (), {}),
+            Resample=type("Resample", (), {}),
+        )
+        ta.load = None  # only called from file-loading helpers the oracle never exercises
+
+
 def install_stubs() -> None:
     """Install sys.modules stubs for comfy/diffusers/loguru/audiotools/argbind (idempotent)."""
+    install_sync_stubs()
     if "diffusers" in sys.modules and not getattr(sys.modules["diffusers"], "_foley_tpu_stub", False):
         raise RuntimeError("real diffusers present; oracle stubs would shadow it")
     if "diffusers" in sys.modules:
@@ -123,6 +215,15 @@ def install_stubs() -> None:
         BaseOutput=_BaseOutput,
         logging=types.SimpleNamespace(get_logger=lambda *_a, **_k: logger),
     )
+
+    def _randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+        """diffusers.utils.torch_utils.randn_tensor for the CPU oracle: seeded torch.randn
+        (the real helper adds device juggling the CPU path doesn't reach)."""
+        return torch.randn(tuple(shape), generator=generator, dtype=dtype)
+
+    diffusers.utils.torch_utils = _mk_module(
+        "diffusers.utils.torch_utils", randn_tensor=_randn_tensor
+    )
     diffusers.schedulers = _mk_module(
         "diffusers.schedulers",
         DDPMScheduler=type("DDPMScheduler", (), {}),
@@ -139,7 +240,16 @@ def install_stubs() -> None:
         unet_offload_device=lambda: torch.device("cpu"),
         soft_empty_cache=lambda *a, **k: None,
     )
-    comfy.utils = _mk_module("comfy.utils", ProgressBar=_ProgressBar)
+    comfy.utils = _mk_module(
+        "comfy.utils",
+        ProgressBar=_ProgressBar,
+        load_torch_file=lambda path, device=None, **_k: torch.load(path, map_location="cpu"),
+    )
+
+    # PyAV: imported at feature_utils.py:6 module scope; only av.open bodies use it, which
+    # the oracle never calls (frame ingest is exercised through our own pipeline/video.py).
+    if "av" not in sys.modules:
+        _mk_module("av", _foley_tpu_stub=True)
 
     _mk_module("loguru", logger=logger)
 
