@@ -155,11 +155,13 @@ def _patchify_spec(spec_tf: jnp.ndarray, cfg: ASTConfig) -> jnp.ndarray:
 def token_mask_from_cont_mask(cont_mask: jnp.ndarray, cfg: ASTConfig) -> jnp.ndarray:
     """Continuous spec mask [B, T, F] (0 = masked) -> token keep-mask [B, 2+f*t] (True = keep).
 
-    A patch token is kept iff any of its spectrogram cells is unmasked; CLS/distill always
-    kept — the capability the reference adds to HF AST via the inf/nan patch trick
-    (``modeling_ast.py:525-544``)."""
+    A patch token is kept iff ALL of its spectrogram cells are unmasked; CLS/distill always
+    kept. This mirrors the reference's inf/nan patch trick (``modeling_ast.py:525-544``):
+    masked cells become ``inf`` before patching, so ANY masked cell in a patch's receptive
+    field poisons that token to nan and it is dropped (oracle-pinned,
+    test_reference_oracle_sync::test_ast_cont_mask_oracle)."""
     patches = _patchify_spec(cont_mask.astype(jnp.float32), cfg)  # [B, f*t, P*P]
-    keep = jnp.any(patches > 0, axis=-1)
+    keep = jnp.all(patches > 0, axis=-1)
     b = keep.shape[0]
     aux = jnp.ones((b, 2), bool)
     return jnp.concatenate([aux, keep], axis=1)
@@ -197,19 +199,24 @@ def extract_features_segments(
     specs: jnp.ndarray,
     cfg: ASTConfig,
     for_loop: bool = False,
+    cont_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Segmented features [B, S, T, F] -> [B, S, t, D].
 
     ``for_loop=True`` processes one segment at a time (the reference's memory-lean mode,
     ``ast_model.forward`` for_loop branch); False batches all segments through the MXU.
+    ``cont_mask`` [B, S, T, F] (0 = masked) masks spectrogram content (the reference's
+    training-time masking path; unsupported with ``for_loop`` there too).
     """
     b, s = specs.shape[:2]
     if for_loop:
+        assert cont_mask is None, "cont_mask is not supported with for_loop (ast_model.py:162)"
         outs = [extract_features(params, freq_agg_params, specs[:, i], cfg) for i in range(s)]
         out = jnp.stack(outs, axis=1)
     else:
         flat = specs.reshape(b * s, *specs.shape[2:])
-        out = extract_features(params, freq_agg_params, flat, cfg)
+        flat_mask = cont_mask.reshape(b * s, *cont_mask.shape[2:]) if cont_mask is not None else None
+        out = extract_features(params, freq_agg_params, flat, cfg, cont_mask=flat_mask)
         out = out.reshape(b, s, *out.shape[1:])
     return out
 
@@ -220,16 +227,27 @@ def extract_features(
     spec_tf: jnp.ndarray,
     cfg: ASTConfig,
     num_heads_agg: Optional[int] = None,
+    cont_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Factorized freq/time features: [BS, T, F] -> [BS, t, D]
-    (reference ``ast_model.forward_segments`` + ``FrequencyTransformerEncoderLayer``)."""
+    (reference ``ast_model.forward_segments`` + ``FrequencyTransformerEncoderLayer``).
+
+    ``cont_mask`` [BS, T, F] (0 = masked): masked cells drop their tokens from both the
+    encoder attention and the frequency aggregation (reference passes the derived token
+    mask into ``freq_attn_agg``, ``ast_model.py:196-206``)."""
     from foley_tpu.models.synchformer import _spatial_agg
 
-    hidden = apply(params, spec_tf, cfg)          # [BS, 2+f*t, D]
+    token_mask = token_mask_from_cont_mask(cont_mask, cfg) if cont_mask is not None else None
+    hidden = apply(params, spec_tf, cfg, token_mask=token_mask)  # [BS, 2+f*t, D]
     tokens = hidden[:, 2:]                        # drop CLS/distill
     bs = tokens.shape[0]
     f_n, t_n, d = cfg.freq_patches, cfg.time_patches, cfg.hidden_size
     x = tokens.reshape(bs, f_n, t_n, d)           # (f-major, t)
     x = jnp.swapaxes(x, 1, 2).reshape(bs * t_n, f_n, d)  # per-time frequency tokens
-    pooled = _spatial_agg(freq_agg_params, x, num_heads_agg or cfg.num_attention_heads)
+    key_mask = None
+    if token_mask is not None:
+        km = token_mask[:, 2:].reshape(bs, f_n, t_n)
+        key_mask = jnp.swapaxes(km, 1, 2).reshape(bs * t_n, f_n)
+    pooled = _spatial_agg(freq_agg_params, x, num_heads_agg or cfg.num_attention_heads,
+                          key_mask=key_mask)
     return pooled.reshape(bs, t_n, d)

@@ -181,8 +181,8 @@ def _ln(p, x):
     return layer_norm(x, p["weight"], p["bias"], eps=EPS)
 
 
-def _sdpa(q, k, v, nh):
-    """[B, L, D] heads-folded SDPA (fp32 softmax)."""
+def _sdpa(q, k, v, nh, bias: Optional[jnp.ndarray] = None):
+    """[B, L, D] heads-folded SDPA (fp32 softmax); ``bias`` [B, 1, 1, Lk] adds to logits."""
     b, lq, dm = q.shape
     hd = dm // nh
     q = q.reshape(b, lq, nh, hd)
@@ -191,6 +191,8 @@ def _sdpa(q, k, v, nh):
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
                         precision=prec) / (hd ** 0.5)
+    if bias is not None:
+        logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=prec).reshape(b, lq, dm)
 
@@ -244,16 +246,22 @@ def _block(p, x, f: int, n: int, nh: int):
     return x
 
 
-def _spatial_agg(p, x, nh: int):
+def _spatial_agg(p, x, nh: int, key_mask: Optional[jnp.ndarray] = None):
     """SpatialTransformerEncoderLayer: prepend CLS, pre-LN torch encoder layer, return CLS.
 
-    x: [B', N, D] -> [B', D] (reference motionformer.py:258-366).
-    """
+    x: [B', N, D] -> [B', D] (reference motionformer.py:258-366). ``key_mask`` [B', N]
+    (True = keep) masks attention *keys* — the reference expands its keep-mask to a
+    key-dim src_mask (``motionformer.py:297-308``); the CLS key is always kept."""
     b = x.shape[0]
     cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b,) + p["cls_token"].shape[1:])
     x = jnp.concatenate([cls, x], axis=1)
+    bias = None
+    if key_mask is not None:
+        keep = jnp.concatenate([jnp.ones((b, 1), bool), key_mask], axis=1)  # CLS kept
+        bias = jnp.where(keep[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
     xn = _ln(p["norm1"], x)
-    attn = _sdpa(apply_dense(p["q"], xn), apply_dense(p["k"], xn), apply_dense(p["v"], xn), nh)
+    attn = _sdpa(apply_dense(p["q"], xn), apply_dense(p["k"], xn), apply_dense(p["v"], xn), nh,
+                 bias=bias)
     x = x + apply_dense(p["out"], attn)
     xn = _ln(p["norm2"], x)
     x = x + apply_dense(p["linear2"], jax.nn.gelu(apply_dense(p["linear1"], xn), approximate=False))

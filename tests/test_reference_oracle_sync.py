@@ -158,6 +158,51 @@ def test_ast_oracle_for_loop_branch(monkeypatch, for_loop):
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-4, rtol=1e-3)
 
 
+def test_ast_cont_mask_oracle(monkeypatch):
+    """The reference's spectrogram-mask path (inf/nan patch trick -> key-masked encoder
+    attention -> key-masked frequency agg, ``modeling_ast.py:525-544`` +
+    ``ast_model.py:196-206``) vs our cont_mask plumbing.
+
+    The mask is a rectangular hole misaligned with the stride grid so overlapping patches
+    are partially covered — the case where keep-iff-ALL-cells and keep-iff-ANY-cell
+    derivations differ."""
+    tiny = ast_mod.ASTConfig.tiny()
+    RealASTConfig = ast_ref.ASTConfig
+    monkeypatch.setattr(
+        ast_ref, "ASTConfig",
+        lambda: RealASTConfig(
+            hidden_size=tiny.hidden_size, num_hidden_layers=tiny.num_hidden_layers,
+            num_attention_heads=tiny.num_attention_heads, intermediate_size=tiny.intermediate_size,
+            patch_size=tiny.patch_size, frequency_stride=tiny.frequency_stride,
+            time_stride=tiny.time_stride, num_mel_bins=tiny.num_mel_bins,
+        ),
+    )
+    torch.manual_seed(4)
+    model = ast_ref.AST(
+        extract_features=True, max_spec_t=tiny.max_length, factorize_freq_time=True,
+        agg_freq_module="TransformerEncoderLayer", agg_time_module="torch.nn.Identity",
+        add_global_repr=False,
+    ).eval()
+
+    b, s = 1, 2
+    rng = np.random.default_rng(4)
+    spec = rng.normal(size=(b, s, tiny.max_length, tiny.num_mel_bins)).astype(np.float32)
+    cont_mask = np.ones((b, s, tiny.max_length, tiny.num_mel_bins), dtype=bool)
+    cont_mask[:, 0, 3:15, 5:21] = False   # straddles both patch rows and the overlap band
+    cont_mask[:, 1, :, :11] = False       # full-frequency strip in segment 2
+
+    with torch.no_grad():
+        ref, _ = model(torch.from_numpy(spec), cont_mask=torch.from_numpy(cont_mask))
+
+    sd = _np_sd(model)
+    params = ast_mod.convert_hf_state_dict(sd, tiny, prefix="ast.")
+    freq_agg = synchformer.convert_torch_encoder_layer(sd, "freq_attn_agg.", tiny.hidden_size)
+    got = ast_mod.extract_features_segments(
+        params, freq_agg, jnp.asarray(spec), tiny, cont_mask=jnp.asarray(cont_mask)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-4, rtol=1e-3)
+
+
 def test_global_transformer_oracle():
     """Sync scorer (vproj/aproj + GlobalTransformer OFF-token head) vs our compare_v_a,
     replicating Synchformer.compare_v_a's two projection lines (synchformer.py:54-68)."""
