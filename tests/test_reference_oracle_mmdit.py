@@ -27,9 +27,9 @@ CFG = MMDiTConfig(
 )
 
 
-def _build_reference_model():
+def _build_reference_model(**overrides):
     torch.manual_seed(7)
-    model_config = make_model_config(
+    kwargs = dict(
         depth_triple_blocks=CFG.depth_triple_blocks,
         depth_single_blocks=CFG.depth_single_blocks,
         hidden_size=CFG.hidden_size,
@@ -54,6 +54,8 @@ def _build_reference_model():
         rope_theta=10000,
         text_length=CFG.text_length,
     )
+    kwargs.update(overrides)
+    model_config = make_model_config(**kwargs)
     model = hifi.HunyuanVideoFoley(model_config, dtype=torch.float32)
     model.eval()
     # Default init zeroes some projections (final_layer/adaLN outputs, ModulateDiT) so the
@@ -93,6 +95,30 @@ def test_full_forward_matches_literal_reference():
         jnp.asarray(clip), jnp.asarray(sync), CFG,
     )
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_masked_forward_reference_branch_is_unrunnable():
+    """Document why the use_attention_mask branch CANNOT be oracle-pinned: the reference
+    builds a symmetric [text+visual+audio]^2 keep-mask (``hifi_foley.py:774-793``) but its
+    joint self-attention runs over [visual; audio] tokens only (``:260-265``), so enabling
+    the flag crashes on a shape mismatch at every geometry — dead code (all shipped configs
+    set it False). Our cond_mask branch instead slices the mask's [visual; audio] block
+    (mmdit.py apply, NOTE(parity)), which runs and is pinned by test_mask_and_drop."""
+    import pytest
+
+    model = _build_reference_model(use_attention_mask=True)
+    rng = np.random.default_rng(4)
+    B, tl, L = 2, 10, 8
+    with torch.no_grad(), pytest.raises(RuntimeError, match="must match the size"):
+        model(
+            x=torch.from_numpy(rng.normal(size=(B, tl, CFG.audio_vae_latent_dim)).astype(np.float32)).transpose(1, 2),
+            t=torch.from_numpy(np.asarray([800.0, 250.0], np.float32)),
+            clip_feat=torch.from_numpy(rng.normal(size=(B, 4, CFG.clip_dim)).astype(np.float32)),
+            cond=torch.from_numpy(rng.normal(size=(B, L, CFG.condition_dim)).astype(np.float32)),
+            sync_feat=torch.from_numpy(rng.normal(size=(B, 16, CFG.sync_feat_dim)).astype(np.float32)),
+            cond_mask=torch.from_numpy(np.ones((B, L), dtype=bool)),
+            return_dict=False,
+        )
 
 
 def test_converter_consumes_every_literal_key():
