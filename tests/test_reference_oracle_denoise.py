@@ -49,8 +49,12 @@ def _build_reference_dac():
     return model.eval()
 
 
-@pytest.mark.parametrize("solver", ["euler", "heun-2"])
-def test_denoise_process_matches_literal_reference(solver):
+@pytest.mark.parametrize("solver,guidance,batch_size", [
+    ("euler", GUIDANCE, 1),
+    ("heun-2", GUIDANCE, 1),
+    ("euler", 1.0, 2),   # no-CFG branch (guidance <= 1 skips the uncond half) at batch 2
+])
+def test_denoise_process_matches_literal_reference(solver, guidance, batch_size):
     foley = _build_reference_model()
     dac = _build_reference_dac()
 
@@ -81,7 +85,7 @@ def test_denoise_process_matches_literal_reference(solver):
     }
     ref_audio, ref_sr = utils_ref.denoise_process_with_generator(
         visual_feats, text_feats, AUDIO_LEN_S, model_dict, ref_cfg,
-        guidance_scale=GUIDANCE, num_inference_steps=4, batch_size=1,
+        guidance_scale=guidance, num_inference_steps=4, batch_size=batch_size,
         sampler=solver, generator=torch.Generator().manual_seed(SEED),
     )
     assert ref_sr == DAC_CFG.sample_rate
@@ -93,7 +97,7 @@ def test_denoise_process_matches_literal_reference(solver):
     )
     lat0 = utils_ref.prepare_latents_with_generator(
         sched_mod.FlowMatchDiscreteScheduler(shift=1.0, solver=solver),
-        batch_size=1, num_channels_latents=CFG.audio_vae_latent_dim,
+        batch_size=batch_size, num_channels_latents=CFG.audio_vae_latent_dim,
         length=AUDIO_LEN_S * AUDIO_FRAME_RATE, dtype=torch.float32,
         device=torch.device("cpu"), generator=torch.Generator().manual_seed(SEED),
     )
@@ -106,12 +110,13 @@ def test_denoise_process_matches_literal_reference(solver):
     )
     feats = prepare_cfg_features(
         params, jnp.asarray(text), jnp.asarray(uncond_text), jnp.asarray(clip),
-        jnp.asarray(sync), batch_size=1, use_cfg=True, text_bucket=CFG.text_length,
+        jnp.asarray(sync), batch_size=batch_size, use_cfg=guidance > 1.0,
+        text_bucket=CFG.text_length,
     )
     final = denoise_latents(
-        params, jnp.asarray(lat0.numpy()).swapaxes(1, 2), feats, jnp.float32(GUIDANCE),
+        params, jnp.asarray(lat0.numpy()).swapaxes(1, 2), feats, jnp.float32(guidance),
         cfg=CFG, diffusion=DiffusionConfig(), num_steps=4, solver=solver,
-        use_cfg=True, compute_dtype=jnp.float32,
+        use_cfg=guidance > 1.0, compute_dtype=jnp.float32,
     )
     audio = np.asarray(dac_vae.decode(dac_params, final, DAC_CFG)).reshape(1, -1)
 
