@@ -56,3 +56,25 @@ def test_batch_padding_invariance(hf_and_jax):
     mask = np.concatenate([np.ones((1, 6), np.int32), np.zeros((1, 4), np.int32)], axis=1)
     padded = clap.apply(params, jnp.asarray(padded_ids), jnp.asarray(mask), cfg)
     np.testing.assert_allclose(np.asarray(padded[:, :6]), np.asarray(solo), atol=1e-4, rtol=1e-3)
+
+
+def test_with_projection_last_hidden_state_is_identical(hf_and_jax):
+    """The reference loads ClapTextModelWithProjection but consumes only last_hidden_state
+    (``feature_utils.py:134-138``); that surface is identical to ClapTextModel's, so the
+    golden above covers the exact class the reference uses."""
+    from transformers import ClapTextModelWithProjection
+
+    model, params, cfg = hf_and_jax
+    proj = ClapTextModelWithProjection(model.config).eval()
+    proj.text_model.load_state_dict(model.state_dict())
+    rng = np.random.default_rng(2)
+    ids = rng.integers(2, cfg.vocab_size, size=(2, 7)).astype(np.int64)
+    mask = np.ones((2, 7), np.int64)
+    with torch.no_grad():
+        a = model(input_ids=torch.from_numpy(ids),
+                  attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+        b = proj(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+    np.testing.assert_array_equal(a, b)
+    got = clap.apply(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(got), b, atol=2e-4, rtol=1e-3)
