@@ -144,10 +144,34 @@ def compare_v_a(params: Dict, vis: jnp.ndarray, aud: jnp.ndarray, cfg: SyncScore
     return apply_dense(params["off_head"], x[:, 0])
 
 
-def make_class_grid(leftmost: float = -2.0, rightmost: float = 2.0, grid_size: int = 21) -> np.ndarray:
-    """Offset class grid in seconds (reference ``synchformer.py:259-277``)."""
+def make_class_grid(
+    leftmost: float = -2.0,
+    rightmost: float = 2.0,
+    grid_size: int = 21,
+    add_extreme_offset: bool = False,
+    seg_size_vframes: Optional[int] = None,
+    nseg: Optional[int] = None,
+    step_size_seg: Optional[float] = None,
+    vfps: Optional[float] = None,
+) -> np.ndarray:
+    """Offset class grid in seconds (reference ``data_transforms.py:226-244``; same math in
+    ``synchformer.py:259-277``). ``add_extreme_offset`` appends the out-of-range class used
+    by syncability training: the trimmed segment-sequence duration in seconds."""
     assert grid_size >= 3, grid_size
-    return np.linspace(leftmost, rightmost, grid_size).astype(np.float32)
+    grid = np.linspace(leftmost, rightmost, grid_size).astype(np.float32)
+    if add_extreme_offset:
+        assert all([seg_size_vframes, nseg, step_size_seg]), (seg_size_vframes, nseg, step_size_seg)
+        seg_size_sec = seg_size_vframes / vfps
+        trim_size_in_seg = nseg - (1 - step_size_seg) * (nseg - 1)
+        grid = np.concatenate([grid, np.array([trim_size_in_seg * seg_size_sec], np.float32)])
+    return grid
+
+
+def quantize_offset(grid: np.ndarray, off_sec: float) -> Tuple[float, int]:
+    """Snap an offset in seconds onto the closest grid class (reference
+    ``data_transforms.py:247-251``): returns (grid value, class index), first-minimum ties."""
+    idx = int(np.abs(np.asarray(grid) - off_sec).argmin())
+    return float(grid[idx]), idx
 
 
 def predicted_offset_seconds(logits: jnp.ndarray, grid: Optional[np.ndarray] = None) -> np.ndarray:

@@ -56,7 +56,38 @@ class TemporalCropAndOffset:
             self.grid = make_class_grid()
         self.rng = self.rng or np.random.default_rng()
 
+    def _eval_crop(self, item: dict, offset_s: float, v_start_s: float) -> dict:
+        """Fixed-offset eval/test branch (reference ``data_transforms.py:333-337,366-423``):
+        valid/test datasets carry ``offset_sec``/``v_start_i_sec`` targets and the crop is
+        fully deterministic — ``sec2frames`` truncation (int(sec*fps)), the small-negative
+        a_start fix (:382-389), and grid quantization of the provided offset."""
+        from foley_tpu.models.sync_scorer import quantize_offset
+
+        offset_s = round(float(offset_s), 2)
+        n_v = int(self.crop_len_s * self.vfps)
+        n_a = int(self.crop_len_s * self.afps)
+        v_start = int(v_start_s * self.vfps)
+        a_start = int((v_start_s + offset_s) * self.afps)
+        if a_start < 0:
+            if abs(a_start) > self.afps / self.vfps:
+                raise ValueError(f"a_start_i {a_start} out of the rounding-error fix range")
+            a_start = 0  # reference: a_start_i += abs(how_much_out)
+        frames, audio = item["frames"], item["audio"]
+        assert frames.shape[0] >= v_start + n_v and audio.shape[-1] >= a_start + n_a, (
+            frames.shape, audio.shape, v_start, a_start)
+        offset_label, offset_idx = quantize_offset(self.grid, offset_s)
+        out = dict(item)
+        out["frames"] = frames[v_start : v_start + n_v]
+        out["audio"] = audio[..., a_start : a_start + n_a]
+        out["offset_sec"] = offset_s
+        out["offset_label"] = offset_label
+        out["offset_target"] = offset_idx
+        out["v_start_i_sec"] = float(v_start_s)
+        return out
+
     def __call__(self, item: dict) -> dict:
+        if item.get("offset_sec") is not None and item.get("v_start_i_sec") is not None:
+            return self._eval_crop(item, item["offset_sec"], item["v_start_i_sec"])
         frames, audio = item["frames"], item["audio"]
         n_v = int(self.crop_len_s * self.vfps)
         n_a = int(self.crop_len_s * self.afps)
@@ -89,29 +120,62 @@ def _pad_take(x: np.ndarray, start: int, length: int, axis: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class GenerateMultipleSegments:
-    """16-frame video segments, stride 8 (0.32 s @ 25 fps) + aligned 0.64 s audio windows
-    (reference GenerateMultipleSegments; inference variant in features.sync_segments)."""
+    """Segment the AV streams into aligned windows — 16 video frames / 0.64 s audio at the
+    Synchformer geometry (reference GenerateMultipleSegments, data_transforms.py:437-542):
+    the segment count is shared across streams (min of what each accommodates, or an explicit
+    ``n_segments``), the first segment starts centered (``max_start // 2``) or uniformly at
+    random, and ``audio_jitter_sec`` shifts every audio window by one shared draw. All frame
+    index math follows the reference exactly (``int`` truncation through seconds).
+    The inference-path variant (start 0, audio-independent) remains ``features.sync_segments``,
+    which mirrors ``feature_utils.py`` instead of this training transform."""
 
     segment_size_vframes: int = 16
-    stride_vframes: int = 8
+    stride_vframes: int = 8          # = step_size_seg * segment_size (reference keeps the ratio)
     vfps: float = 25.0
     afps: int = 16000
+    n_segments: Optional[int] = None
+    is_start_random: bool = False
+    audio_jitter_sec: float = 0.0
+    rng: Optional[np.random.Generator] = None
 
     def __call__(self, item: dict) -> dict:
-        from foley_tpu.pipeline.features import sync_segments
+        vfps = int(item.get("vfps", self.vfps))
+        afps = int(item.get("afps", self.afps))
+        frames = item["frames"]
+        audio = np.asarray(item["audio"]).reshape(-1)
+        v_len, a_len = frames.shape[0], audio.shape[0]
 
+        seg_v = self.segment_size_vframes
+        seg_a = int(seg_v / vfps * afps)                       # sec2frames(frames2sec(seg_v))
+        step = self.stride_vframes / seg_v
+        stride_v = int(step * seg_v)
+        stride_a = int(step * seg_a)
+        n_max = min((v_len - seg_v) // stride_v + 1, (a_len - seg_a) // stride_a + 1)
+        n = n_max if self.n_segments is None else self.n_segments
+        assert 1 <= n <= n_max, (n, n_max, v_len, a_len)
+
+        # temporal placement of the whole segment sequence: centered or random start
+        seg_seq_len = n * step + (1 - step)
+        v_seq_len = int(seg_seq_len * seg_v)
+        a_seq_len = int(seg_seq_len * seg_a)
+        max_v_start = v_len - v_seq_len
+        rng = self.rng or np.random.default_rng()
+        v_start = int(rng.integers(0, max_v_start + 1)) if self.is_start_random else max_v_start // 2
+        a_start = int(v_start / vfps * afps)
+
+        v_starts = v_start + stride_v * np.arange(n)
+        a_starts = a_start + stride_a * np.arange(n)
+        if self.audio_jitter_sec > 0:
+            jit = int(self.audio_jitter_sec * afps)
+            jit = min(jit, a_start, a_len - a_start - a_seq_len)
+            a_starts = a_starts + int(rng.integers(-jit, jit + 1))
+
+        # the centered start is derived from the VIDEO stream; when the audio is shorter it
+        # may not accommodate the sequence — the reference asserts (data_transforms.py:540)
+        assert a_starts[0] >= 0 and a_starts[-1] + seg_a <= a_len, (a_starts, a_len)
         out = dict(item)
-        out["v_segments"] = sync_segments(item["frames"], self.segment_size_vframes, self.stride_vframes)
-        if "audio" in item:
-            a_seg = int(self.segment_size_vframes / self.vfps * self.afps)  # 10240
-            a_stride = int(self.stride_vframes / self.vfps * self.afps)     # 5120
-            audio = np.asarray(item["audio"]).reshape(-1)
-            n = max((audio.shape[0] - a_seg) // a_stride + 1, 1)
-            if audio.shape[0] < a_seg:
-                audio = np.pad(audio, (0, a_seg - audio.shape[0]))
-            out["a_segments"] = np.stack(
-                [audio[i * a_stride : i * a_stride + a_seg] for i in range(n)], axis=0
-            )
+        out["v_segments"] = np.stack([frames[s : s + seg_v] for s in v_starts], axis=0)
+        out["a_segments"] = np.stack([audio[s : s + seg_a] for s in a_starts], axis=0)
         return out
 
 
@@ -614,7 +678,10 @@ class RGBToHalfToZeroOne:
 @dataclasses.dataclass
 class EqualifyFromRight:
     """Trim audio/video to equal duration, dropping the longer tail from the right
-    (reference EqualifyFromRight, data_transforms.py:20-57)."""
+    (reference EqualifyFromRight, data_transforms.py:20-57). Reference arithmetic exactly:
+    the audio length derives from the VIDEO frame count via the floor-divided per-frame
+    sample count (``a_fps // v_fps * int(v_fps * min_len)``), not from rounding the duration
+    — at non-integral durations the two differ (oracle-pinned)."""
 
     clip_max_len_sec: float = 10.0
 
@@ -623,10 +690,13 @@ class EqualifyFromRight:
         afps = float(item.get("afps", 16000))
         v_dur = item["frames"].shape[0] / vfps
         a_dur = item["audio"].shape[-1] / afps
-        dur = min(v_dur, a_dur, self.clip_max_len_sec)
+        min_len = min(self.clip_max_len_sec, a_dur, v_dur)
+        a_frames_per_v_frame = afps // vfps
+        v_len = int(vfps * min_len)
+        a_len = int(a_frames_per_v_frame * v_len)
         out = dict(item)
-        out["frames"] = item["frames"][: int(round(dur * vfps))]
-        out["audio"] = item["audio"][..., : int(round(dur * afps))]
+        out["frames"] = item["frames"][:v_len]
+        out["audio"] = item["audio"][..., :a_len]
         return out
 
 
@@ -724,6 +794,18 @@ class TemporalCropAndOffsetForSyncabilityTraining:
         rng = self.rng or np.random.default_rng()
         base = TemporalCropAndOffset(crop_len_s=self.crop_len_s, vfps=self.vfps,
                                      afps=self.afps, rng=rng)
+        if item.get("offset_sec") is not None and item.get("v_start_i_sec") is not None:
+            # Fixed-offset eval branch. DIVERGENCE: the reference's eval branch computes the
+            # same crop but then CRASHES (data_transforms.py:675 reads `offset_is_syncable`,
+            # assigned only in the train branch at :597 — UnboundLocalError, oracle-pinned);
+            # we return the crop with the syncability label derived from grid membership.
+            out = base._eval_crop(item, item["offset_sec"], item["v_start_i_sec"])
+            half_step = float(base.grid[1] - base.grid[0]) / 2.0
+            on_grid = abs(out["offset_label"] - out["offset_sec"]) <= half_step + 1e-6
+            out["syncable_target"] = int(on_grid)
+            if not on_grid:
+                out["offset_target"] = -1
+            return out
         grid_max = float(np.max(np.abs(base.grid)))
         out = base(item)
         if rng.random() < self.p_unsyncable:

@@ -161,6 +161,46 @@ def _to_2tuple(x):
     return x if isinstance(x, tuple) else (x, x)
 
 
+class _TVModule(torch.nn.Module):
+    """Subclassable torchvision placeholder: ``data_transforms.py`` defines classes that
+    INHERIT from torchvision transforms (Resize/RandomHorizontalFlip/Normalize) at module
+    scope, so import needs real classes — but the oracle tests only exercise the pure-torch
+    transforms, so any forward through a torchvision base raises loudly instead of silently
+    shimming torchvision math."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+
+    def forward(self, *args, **kwargs):  # pragma: no cover - guards accidental use
+        raise RuntimeError("torchvision stub: this reference path is not oracle-able here")
+
+
+def _tv_unavailable(*_a, **_k):  # pragma: no cover - guards accidental use
+    raise RuntimeError("torchvision stub: functional API unavailable")
+
+
+def install_torchvision_stub() -> None:
+    """Import-only torchvision stub so ``synchformer/data_transforms.py`` imports clean."""
+    if "torchvision" in sys.modules and not getattr(
+        sys.modules["torchvision"], "_foley_tpu_stub", False
+    ):
+        raise RuntimeError("real torchvision present; oracle stubs would shadow it")
+    if "torchvision" in sys.modules:
+        return
+    tv = _mk_module("torchvision", _foley_tpu_stub=True)
+    names = (
+        "Resize", "RandomHorizontalFlip", "Normalize", "Compose", "RandomApply",
+        "ColorJitter", "RandomGrayscale",
+    )
+    tv.transforms = _mk_module(
+        "torchvision.transforms",
+        **{n: type(n, (_TVModule,), {}) for n in names},
+    )
+    tv.transforms.functional = _mk_module(
+        "torchvision.transforms.functional", resize=_tv_unavailable
+    )
+
+
 def install_sync_stubs() -> None:
     """Stubs for the Synchformer import chain's missing deps (omegaconf/timm/torchaudio).
 
@@ -169,6 +209,7 @@ def install_sync_stubs() -> None:
     and ``to_2tuple`` (init-time only), and torchaudio is referenced solely in
     ``synchformer.py``'s mel-spectrogram helpers, which the oracle tests never call.
     """
+    install_torchvision_stub()
     for name in ("omegaconf", "timm", "torchaudio"):
         if name in sys.modules and not getattr(sys.modules[name], "_foley_tpu_stub", False):
             raise RuntimeError(f"real {name} present; oracle stubs would shadow it")
