@@ -415,6 +415,30 @@ def convert_dac_state_dict(
     return params
 
 
+def convert_rvq_state_dict(sd: Dict[str, np.ndarray], cfg: RVQConfig, strict: bool = False) -> Dict:
+    """Torch ``ResidualVectorQuantize`` state dict -> ``models.quantize`` params.
+
+    Reference structure (``dac_vae/nn/quantize.py:96-141``): ``quantizers.{i}.{in_proj,
+    out_proj}`` are weight-normed 1x1 convs (folded here to dense [in, out]) and
+    ``quantizers.{i}.codebook`` is an nn.Embedding [codebook_size, codebook_dim]."""
+    t = _KeyTracker(dict(sd))
+
+    def dense_1x1(prefix: str) -> Dict:
+        p = _take_wn_conv(t, prefix)  # w: [K=1, in, out]
+        return {"w": p["w"][0], "b": p.get("b")}
+
+    quantizers = []
+    for i in range(cfg.n_codebooks):
+        q = f"quantizers.{i}"
+        quantizers.append({
+            "in_proj": dense_1x1(f"{q}.in_proj"),
+            "out_proj": dense_1x1(f"{q}.out_proj"),
+            "codebook": t.take(f"{q}.codebook.weight"),
+        })
+    _report(t, strict, "RVQ")
+    return {"quantizers": quantizers}
+
+
 def _report(t: _KeyTracker, strict: bool, name: str) -> None:
     missing = [k for k in t.missing]
     unexpected = t.unexpected()
