@@ -61,8 +61,33 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
     return walls[len(walls) // 2], result
 
 
+def accelerator_reachable(timeout_s: int = 300) -> bool:
+    """Bounded device-init probe in a subprocess.
+
+    The axon TPU service can go fully unavailable (observed 1.5+ h outages) in a mode where
+    even ``jax.devices()`` blocks forever — probing in-process would hang the whole bench.
+    A generous timeout keeps healthy-but-slow first contact (a few seconds) from tripping."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     duration_s, steps = 5.0, 50
+    if not accelerator_reachable():
+        print(json.dumps({
+            "metric": "audio_sec_per_sec_per_chip", "value": 0.0,
+            "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
+            "error": "accelerator unreachable: device init did not return within 300s",
+        }))
+        return 1
     for config_name in ("xxl", "xl", "tiny"):
         try:
             elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1)

@@ -26,6 +26,7 @@ import numpy as np
 
 from foley_tpu.configs import DACConfig, MMDiTConfig
 from foley_tpu.core.params import stack_params
+from foley_tpu.models.quantize import RVQConfig
 from foley_tpu.ops.nn import fold_weight_norm
 from foley_tpu.utils.logging import get_logger
 

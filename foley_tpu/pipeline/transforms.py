@@ -60,16 +60,20 @@ class TemporalCropAndOffset:
         """Fixed-offset eval/test branch (reference ``data_transforms.py:333-337,366-423``):
         valid/test datasets carry ``offset_sec``/``v_start_i_sec`` targets and the crop is
         fully deterministic — ``sec2frames`` truncation (int(sec*fps)), the small-negative
-        a_start fix (:382-389), and grid quantization of the provided offset."""
+        a_start fix (:382-389), and grid quantization of the provided offset. Frame rates
+        come from the item when carried (resample transforms update them), like the
+        reference's meta reads (:326-327)."""
         from foley_tpu.models.sync_scorer import quantize_offset
 
+        vfps = float(item.get("vfps", self.vfps))
+        afps = float(item.get("afps", self.afps))
         offset_s = round(float(offset_s), 2)
-        n_v = int(self.crop_len_s * self.vfps)
-        n_a = int(self.crop_len_s * self.afps)
-        v_start = int(v_start_s * self.vfps)
-        a_start = int((v_start_s + offset_s) * self.afps)
+        n_v = int(self.crop_len_s * vfps)
+        n_a = int(self.crop_len_s * afps)
+        v_start = int(v_start_s * vfps)
+        a_start = int((v_start_s + offset_s) * afps)
         if a_start < 0:
-            if abs(a_start) > self.afps / self.vfps:
+            if abs(a_start) > afps / vfps:
                 raise ValueError(f"a_start_i {a_start} out of the rounding-error fix range")
             a_start = 0  # reference: a_start_i += abs(how_much_out)
         frames, audio = item["frames"], item["audio"]
@@ -86,7 +90,18 @@ class TemporalCropAndOffset:
         return out
 
     def __call__(self, item: dict) -> dict:
-        if item.get("offset_sec") is not None and item.get("v_start_i_sec") is not None:
+        has_off = item.get("offset_sec") is not None
+        has_start = item.get("v_start_i_sec") is not None
+        if has_off or has_start:
+            # either key present marks a fixed-offset eval item (reference requires BOTH
+            # None to take the train branch, :339); half-set targets fail loudly instead of
+            # silently overwriting the provided one with a random draw
+            if not (has_off and has_start):
+                raise ValueError(
+                    "fixed-offset item must carry BOTH offset_sec and v_start_i_sec "
+                    f"(got offset_sec={item.get('offset_sec')!r}, "
+                    f"v_start_i_sec={item.get('v_start_i_sec')!r})"
+                )
             return self._eval_crop(item, item["offset_sec"], item["v_start_i_sec"])
         frames, audio = item["frames"], item["audio"]
         n_v = int(self.crop_len_s * self.vfps)
@@ -130,29 +145,41 @@ class GenerateMultipleSegments:
     which mirrors ``feature_utils.py`` instead of this training transform."""
 
     segment_size_vframes: int = 16
-    stride_vframes: int = 8          # = step_size_seg * segment_size (reference keeps the ratio)
+    stride_vframes: int = 8          # video stride; step_size_seg overrides with ref math
     vfps: float = 25.0
     afps: int = 16000
     n_segments: Optional[int] = None
     is_start_random: bool = False
     audio_jitter_sec: float = 0.0
+    step_size_seg: Optional[float] = None  # reference parameterization: strides = int(step*seg)
     rng: Optional[np.random.Generator] = None
 
     def __call__(self, item: dict) -> dict:
         vfps = int(item.get("vfps", self.vfps))
         afps = int(item.get("afps", self.afps))
         frames = item["frames"]
-        audio = np.asarray(item["audio"]).reshape(-1)
-        v_len, a_len = frames.shape[0], audio.shape[0]
+        v_len = frames.shape[0]
 
         seg_v = self.segment_size_vframes
         seg_a = int(seg_v / vfps * afps)                       # sec2frames(frames2sec(seg_v))
-        step = self.stride_vframes / seg_v
-        stride_v = int(step * seg_v)
+        if self.step_size_seg is not None:
+            # reference math exactly: both strides truncate step * segment size
+            step = self.step_size_seg
+            stride_v = int(step * seg_v)
+        else:
+            # integer-stride ctor: honor the configured video stride verbatim (a float
+            # roundtrip int(stride/seg*seg) loses a frame for pairs like seg=22, stride=15)
+            stride_v = self.stride_vframes
+            step = stride_v / seg_v
         stride_a = int(step * seg_a)
-        n_max = min((v_len - seg_v) // stride_v + 1, (a_len - seg_a) // stride_a + 1)
+
+        audio = None
+        n_max = (v_len - seg_v) // stride_v + 1
+        if "audio" in item:
+            audio = np.asarray(item["audio"]).reshape(-1)
+            n_max = min(n_max, (audio.shape[0] - seg_a) // stride_a + 1)
         n = n_max if self.n_segments is None else self.n_segments
-        assert 1 <= n <= n_max, (n, n_max, v_len, a_len)
+        assert 1 <= n <= n_max, (n, n_max, v_len)
 
         # temporal placement of the whole segment sequence: centered or random start
         seg_seq_len = n * step + (1 - step)
@@ -161,9 +188,15 @@ class GenerateMultipleSegments:
         max_v_start = v_len - v_seq_len
         rng = self.rng or np.random.default_rng()
         v_start = int(rng.integers(0, max_v_start + 1)) if self.is_start_random else max_v_start // 2
-        a_start = int(v_start / vfps * afps)
 
+        out = dict(item)
         v_starts = v_start + stride_v * np.arange(n)
+        out["v_segments"] = np.stack([frames[s : s + seg_v] for s in v_starts], axis=0)
+        if audio is None:
+            return out  # video-only item: segment the frames alone
+
+        a_len = audio.shape[0]
+        a_start = int(v_start / vfps * afps)
         a_starts = a_start + stride_a * np.arange(n)
         if self.audio_jitter_sec > 0:
             jit = int(self.audio_jitter_sec * afps)
@@ -173,8 +206,6 @@ class GenerateMultipleSegments:
         # the centered start is derived from the VIDEO stream; when the audio is shorter it
         # may not accommodate the sequence — the reference asserts (data_transforms.py:540)
         assert a_starts[0] >= 0 and a_starts[-1] + seg_a <= a_len, (a_starts, a_len)
-        out = dict(item)
-        out["v_segments"] = np.stack([frames[s : s + seg_v] for s in v_starts], axis=0)
         out["a_segments"] = np.stack([audio[s : s + seg_a] for s in a_starts], axis=0)
         return out
 
@@ -655,7 +686,9 @@ class PermuteStreams:
 
 class RGBToFloatToZeroOne:
     """uint8 [0, 255] -> float32 [0, 1] (reference RGBToFloatToZeroOne,
-    data_transforms.py:689-696)."""
+    data_transforms.py:689-696). DIVERGENCE (oracle-pinned): the reference divides by 255
+    unconditionally — re-dividing already-[0,1] float frames into [0, 0.004]; this module's
+    item convention is float frames in [0,1], so non-uint8 input passes through as a cast."""
 
     def __call__(self, item: dict) -> dict:
         out = dict(item)
@@ -800,10 +833,14 @@ class TemporalCropAndOffsetForSyncabilityTraining:
             # assigned only in the train branch at :597 — UnboundLocalError, oracle-pinned);
             # we return the crop with the syncability label derived from grid membership.
             out = base._eval_crop(item, item["offset_sec"], item["v_start_i_sec"])
-            half_step = float(base.grid[1] - base.grid[0]) / 2.0
-            on_grid = abs(out["offset_label"] - out["offset_sec"]) <= half_step + 1e-6
-            out["syncable_target"] = int(on_grid)
-            if not on_grid:
+            # syncable iff the offset lies within the grid SPAN: train-time syncable draws
+            # come from the grid itself, unsyncable ones from far outside (±crop_len), so a
+            # near-edge out-of-span offset (e.g. 2.05 on a ±2 grid) must label unsyncable —
+            # half-step proximity to the edge class would mislabel it
+            grid_max = float(np.max(np.abs(base.grid)))
+            in_span = abs(out["offset_sec"]) <= grid_max + 1e-6
+            out["syncable_target"] = int(in_span)
+            if not in_span:
                 out["offset_target"] = -1
             return out
         grid_max = float(np.max(np.abs(base.grid)))

@@ -20,7 +20,7 @@ import numpy as np
 import pytest
 import torch
 
-from reference_oracle import import_reference
+from tests.reference_oracle import import_reference
 
 from foley_tpu.models import sync_scorer
 from foley_tpu.pipeline import transforms as T
@@ -165,6 +165,20 @@ def test_generate_segments_matches_reference(Tv, Ta, n, step):
     np.testing.assert_array_equal(ref["audio"].numpy(), got["a_segments"])
 
 
+def test_generate_segments_fractional_step_matches_reference():
+    """step_size_seg values whose video stride is fractional (0.3 * 16 = 4.8 -> 4) are only
+    representable through the reference's int-truncating step math — the step_size_seg
+    parameterization reproduces them exactly."""
+    ref = _ref_segments(ref_item(80, 52000), n=4, step=0.3)
+    got = T.GenerateMultipleSegments(step_size_seg=0.3, n_segments=4)(
+        ours_item(ref_item(80, 52000))
+    )
+    np.testing.assert_array_equal(
+        ref["video"].numpy(), np.transpose(got["v_segments"], (0, 1, 4, 2, 3))
+    )
+    np.testing.assert_array_equal(ref["audio"].numpy(), got["a_segments"])
+
+
 def test_generate_segments_audio_overrun_asserts_like_reference():
     """Centering follows the VIDEO stream; a much-shorter audio cannot accommodate the
     sequence and the reference asserts on the audio ranges (data_transforms.py:540) — ours
@@ -267,6 +281,17 @@ def test_rgb_to_float_and_half_match_reference():
     np.testing.assert_array_equal(
         ref_h.float().numpy(), np.transpose(got_h.astype(np.float32), (0, 3, 1, 2))
     )
+
+
+def test_rgb_to_float_float_input_divergence_pinned():
+    """The reference divides by 255 UNCONDITIONALLY (data_transforms.py:695), mangling
+    already-[0,1] float frames to [0, 0.004]; ours casts non-uint8 input through unchanged
+    (this module's item convention is float [0,1]) — a documented divergence."""
+    frames = np.full((2, 3, 4, 4), 0.5, np.float32)
+    ref = dt.RGBToFloatToZeroOne()({"video": torch.from_numpy(frames)})["video"]
+    np.testing.assert_allclose(ref.numpy(), frames / 255.0, rtol=1e-6)  # reference mangles
+    got = T.RGBToFloatToZeroOne()({"frames": frames})["frames"]
+    np.testing.assert_array_equal(got, frames)  # ours passes through
 
 
 def test_do_nothing_matches_reference():

@@ -32,6 +32,37 @@ def test_generate_segments(clip):
     assert out["a_segments"].shape == (sa, 10240)
 
 
+def test_temporal_crop_half_set_eval_target_raises(clip):
+    # one eval-target key without the other must fail loudly, not silently fall back to a
+    # random draw that overwrites the provided target
+    item = dict(clip, offset_sec=0.4)
+    with pytest.raises(ValueError, match="BOTH offset_sec and v_start_i_sec"):
+        T.TemporalCropAndOffset(crop_len_s=1.0, rng=np.random.default_rng(0))(item)
+
+
+def test_generate_segments_video_only(clip):
+    item = {"frames": clip["frames"]}
+    out = T.GenerateMultipleSegments()(item)
+    assert out["v_segments"].shape == ((50 - 16) // 8 + 1, 16, 32, 48, 3)
+    assert "a_segments" not in out
+
+
+def test_generate_segments_integer_stride_is_verbatim(clip):
+    # seg=22/stride=15: the float roundtrip int(15/22*22)==14 would lose a frame
+    t = T.GenerateMultipleSegments(segment_size_vframes=22, stride_vframes=15)
+    out = t({"frames": clip["frames"]})
+    n = (50 - 22) // 15 + 1
+    assert out["v_segments"].shape[0] == n
+    # consecutive segments are exactly 15 frames apart
+    np.testing.assert_array_equal(out["v_segments"][1], clip["frames"][t_start(15, n, 50, 22) + 15 :][:22])
+
+
+def t_start(stride, n, v_len, seg):
+    step = stride / seg
+    seq = int((n * step + (1 - step)) * seg)
+    return (v_len - seq) // 2
+
+
 def test_letterbox_preserves_aspect(clip):
     out = T.ResizeAndLetterbox(size=64)(clip)
     f = out["frames"]
