@@ -167,8 +167,160 @@ def encode_corpus(
     return shards
 
 
+# ---------------------------------------------------------------------------------
+# AV (frames + audio) corpus -> encoder-feature shards for V2A training
+# ---------------------------------------------------------------------------------
+
+def list_av_clips(root: str) -> List[tuple]:
+    """Paired (frames_dir, wav_path) clips under ``root``.
+
+    A clip is a directory of image frames with its audio either inside the directory (a
+    single .wav) or as a sibling ``<dirname>.wav``. No video toolchain needed — the same
+    frames-dir convention as the CLI/serving V2A ingest (``pipeline/video.py``)."""
+    from foley_tpu.pipeline.video import _IMAGE_EXTS
+
+    pairs: List[tuple] = []
+    for dirpath, dirnames, _ in os.walk(root):
+        for d in sorted(dirnames):
+            full = os.path.join(dirpath, d)
+            names = os.listdir(full)
+            if not any(n.lower().endswith(_IMAGE_EXTS) for n in names):
+                continue
+            inside = sorted(n for n in names if n.lower().endswith(_WAV_EXTS))
+            sibling = full + ".wav"
+            if inside:
+                pairs.append((full, os.path.join(full, inside[0])))
+            elif os.path.exists(sibling):
+                pairs.append((full, sibling))
+    return pairs
+
+
+class AVFolderDataset:
+    """Infinite sampler of SYNCED fixed-length AV crops from paired frames-dir clips.
+
+    Yields ``{"audio": [Ta] fp32, "frames": [Tv, H, W, 3] fp32 [0,1], "vfps", "afps",
+    "path"}`` with audio and frames cut from the same time window (one uniform start per
+    draw). Short clips loop (tile) both streams to ``clip_seconds`` before cropping."""
+
+    def __init__(
+        self,
+        root: str,
+        clip_seconds: float,
+        sample_rate: int = 48000,
+        frames_fps: float = 16.0,
+        transforms: Optional[Callable[[dict], dict]] = None,
+        seed: int = 0,
+    ):
+        self.clips = list_av_clips(root)
+        if not self.clips:
+            raise FileNotFoundError(f"no (frames dir, wav) clip pairs under {root}")
+        self.clip_seconds = clip_seconds
+        self.sample_rate = sample_rate
+        self.frames_fps = frames_fps
+        self.transforms = transforms
+        self._rng = np.random.default_rng(seed)
+        logger.info(f"AVFolderDataset: {len(self.clips)} clips under {root}")
+
+    def __iter__(self) -> Iterator[dict]:
+        from foley_tpu.io.audio import read_wav
+        from foley_tpu.pipeline.video import read_video_frames
+
+        n_a = int(round(self.clip_seconds * self.sample_rate))
+        while True:
+            for i in self._rng.permutation(len(self.clips)):
+                frames_dir, wav_path = self.clips[int(i)]
+                try:
+                    audio, _ = read_wav(wav_path, target_sr=self.sample_rate)
+                    frames, fps = read_video_frames(frames_dir, dir_fps=self.frames_fps)
+                except Exception as e:  # corrupt clip: skip, don't kill the epoch
+                    logger.warning(f"skipping unreadable clip {frames_dir}: {e}")
+                    continue
+                n_v = int(round(self.clip_seconds * fps))
+                if len(audio) < n_a:
+                    audio = np.tile(audio, int(np.ceil(n_a / max(len(audio), 1))))
+                if frames.shape[0] < n_v:
+                    frames = np.tile(frames, (int(np.ceil(n_v / max(frames.shape[0], 1))), 1, 1, 1))
+                # one shared start keeps the streams synced
+                dur = min(len(audio) / self.sample_rate, frames.shape[0] / fps)
+                start_s = float(self._rng.uniform(0.0, max(dur - self.clip_seconds, 0.0)))
+                a0 = int(round(start_s * self.sample_rate))
+                v0 = int(round(start_s * fps))
+                item = {
+                    "audio": audio[a0 : a0 + n_a],
+                    "frames": frames[v0 : v0 + n_v],
+                    "vfps": float(fps),
+                    "afps": self.sample_rate,
+                    "path": frames_dir,
+                }
+                if self.transforms is not None:
+                    item = self.transforms(item)
+                yield item
+
+
+def encode_av_corpus(
+    dac_params: Dict,
+    dac_cfg,
+    video_encoders: Dict,
+    pipeline_cfg,
+    dataset: Iterator[dict],
+    out_dir: str,
+    num_clips: int,
+    clip_seconds: float,
+    shard_size: int = 64,
+    seed: int = 0,
+) -> List[str]:
+    """Offline AV corpus encoding for V2A training: per clip, DAC posterior latents PLUS
+    SigLIP2/Synchformer visual features into .npz shards.
+
+    Same recipe as ``encode_corpus`` (precompute the frozen encoders once; train steps
+    stream small features instead of re-running ViTs every step), through the SAME encode
+    path the sampler uses at inference (``nodes.HunyuanFoleySampler._encode_video`` — fps
+    resampling, device preprocessing, feature geometry all identical), so a model trained
+    on these shards sees exactly the inference-time V2A conditioning."""
+    from foley_tpu.api.nodes import HunyuanFoleySampler
+    from foley_tpu.models import dac_vae
+
+    encode = jax.jit(lambda p, a, k: dac_vae.encode(p, a, dac_cfg).sample(k))
+    base_key = jax.random.PRNGKey(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    shards: List[str] = []
+    bufs: Dict[str, List[np.ndarray]] = {"latents": [], "clip_feat": [], "sync_feat": []}
+    path_buf: List[str] = []
+
+    def flush():
+        nonlocal bufs, path_buf
+        if not bufs["latents"]:
+            return
+        path = os.path.join(out_dir, f"shard_{len(shards):05d}.npz")
+        np.savez(path, paths=np.asarray(path_buf),
+                 **{k: np.stack(v) for k, v in bufs.items()})
+        shards.append(path)
+        bufs = {k: [] for k in bufs}
+        path_buf = []
+
+    it = iter(dataset)
+    for done in range(num_clips):
+        item = next(it)
+        audio = jnp.asarray(item["audio"], jnp.float32)[None, :, None]  # [1, T, 1]
+        z = np.asarray(encode(dac_params, audio, jax.random.fold_in(base_key, done)), np.float32)
+        clip_feat, sync_feat = HunyuanFoleySampler._encode_video(
+            video_encoders, item["frames"], frame_rate=item["vfps"],
+            duration=clip_seconds, cfg=pipeline_cfg,
+        )
+        bufs["latents"].append(z[0])
+        bufs["clip_feat"].append(np.asarray(clip_feat, np.float32)[0])
+        bufs["sync_feat"].append(np.asarray(sync_feat, np.float32)[0])
+        path_buf.append(item.get("path", ""))
+        if len(bufs["latents"]) >= shard_size:
+            flush()
+    flush()
+    logger.info(f"encoded {num_clips} AV clips into {len(shards)} shards under {out_dir}")
+    return shards
+
+
 class NpzShardDataset:
-    """Infinite shuffled sampler over .npz latent shards written by ``encode_corpus``."""
+    """Infinite shuffled sampler over .npz shards (``encode_corpus`` latents-only shards or
+    ``encode_av_corpus`` latents+clip_feat+sync_feat shards — yields every per-row array)."""
 
     def __init__(self, shard_dir: str, seed: int = 0):
         self.shards = sorted(
@@ -182,9 +334,9 @@ class NpzShardDataset:
         while True:
             for si in self._rng.permutation(len(self.shards)):
                 with np.load(self.shards[int(si)]) as z:
-                    lat = z["latents"]
-                for ri in self._rng.permutation(lat.shape[0]):
-                    yield {"latents": lat[int(ri)]}
+                    arrays = {k: z[k] for k in z.files if k != "paths"}
+                for ri in self._rng.permutation(arrays["latents"].shape[0]):
+                    yield {k: v[int(ri)] for k, v in arrays.items()}
 
 
 def latent_stats_from_shards(shard_dir: str) -> tuple:
@@ -232,14 +384,21 @@ def flow_match_batches(
     text_bucket: int = 77,
     cond_fn: Optional[Callable[[Dict[str, np.ndarray]], np.ndarray]] = None,
     latent_stats: Optional[tuple] = None,
+    drop_visual_p: float = 0.0,
+    drop_rng: Optional[np.random.Generator] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Assemble ``{latents, cond, clip_feat, sync_feat}`` batches for ``flow_match_loss``.
 
-    Audio-only (T2A-style) training conditions on the model's *learned* empty clip/sync
-    sequences and zero text (the reference's unconditioned branch, ``hifi_foley.py:620-635``);
-    pass ``cond_fn(batch) -> [B, L, condition_dim]`` to supply real text features instead.
-    Clip/sync lengths follow the sampler's T2A formula (``features.py::t2a_features``), so a
-    model trained here sees the exact inference-time empty-sequence geometry.
+    Items carrying per-clip ``clip_feat``/``sync_feat`` (``encode_av_corpus`` shards) train
+    V2A conditioning on real visual features; audio-only items (``encode_corpus`` shards)
+    condition on the model's *learned* empty clip/sync sequences at the sampler's T2A
+    lengths (the reference's unconditioned branch, ``hifi_foley.py:620-635``) — either way
+    the geometry matches inference exactly. ``cond_fn(batch) -> [B, L, condition_dim]``
+    supplies real text features (zero text = the uncond text branch otherwise).
+
+    ``drop_visual_p`` replaces each row's visual features with the learned empty sequences
+    at that probability (classifier-free-guidance dropout: the CFG sampler contrasts exactly
+    these empties against the conditioned branch at inference).
 
     ``latent_stats=(mean, std)`` (see ``latent_stats_from_shards``) standardizes latents per
     channel before batching — required when training from scratch so the flow-matching
@@ -256,20 +415,26 @@ def flow_match_batches(
     lat_len = probe["latents"].shape[0]
     first = [probe]
 
-    duration_s = lat_len / pipeline_cfg.model.audio_frame_rate
-    clip_len, sync_len = pipeline_cfg.t2a_lengths(duration_s)
-    clip_feat = np.asarray(
+    has_visual = "clip_feat" in probe and "sync_feat" in probe
+    if has_visual:
+        clip_len, sync_len = probe["clip_feat"].shape[0], probe["sync_feat"].shape[0]
+    else:
+        duration_s = lat_len / pipeline_cfg.model.audio_frame_rate
+        clip_len, sync_len = pipeline_cfg.t2a_lengths(duration_s)
+    empty_clip = np.asarray(
         mmdit_model.get_empty_clip_sequence(mmdit_params, batch_size, clip_len), np.float32
     )
-    sync_feat = np.asarray(
+    empty_sync = np.asarray(
         mmdit_model.get_empty_sync_sequence(mmdit_params, batch_size, sync_len), np.float32
     )
+    drop_rng = drop_rng or np.random.default_rng()
 
     def items():
         yield from first
         yield from latent_iter
 
-    for batch in batch_items(items(), batch_size, keys=("latents",)):
+    keys = ("latents", "clip_feat", "sync_feat") if has_visual else ("latents",)
+    for batch in batch_items(items(), batch_size, keys=keys):
         cond = (
             cond_fn(batch) if cond_fn is not None
             else np.zeros((batch_size, text_bucket, pipeline_cfg.model.condition_dim), np.float32)
@@ -278,6 +443,15 @@ def flow_match_batches(
         if latent_stats is not None:
             mean, std = latent_stats
             lat = (lat - mean) / std
+        if has_visual:
+            clip_feat = batch["clip_feat"].astype(np.float32)
+            sync_feat = batch["sync_feat"].astype(np.float32)
+            if drop_visual_p > 0.0:
+                drop = drop_rng.random(batch_size) < drop_visual_p
+                clip_feat = np.where(drop[:, None, None], empty_clip, clip_feat)
+                sync_feat = np.where(drop[:, None, None], empty_sync, sync_feat)
+        else:
+            clip_feat, sync_feat = empty_clip, empty_sync
         yield {
             "latents": lat,
             "cond": cond,

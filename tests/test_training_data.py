@@ -102,6 +102,122 @@ def test_encode_corpus_shards_and_flow_match_batches(tmp_path):
     assert np.abs(nb.mean(0)).max() < 0.5 and np.abs(nb.std(0) - 1.0).max() < 0.5
 
 
+def _write_av_corpus(root, rng, n_clips=2, seconds=1.0, fps=16, size=40, sr=48000):
+    """Per-clip frames dir + wav: clip_0 with a sibling wav, clip_1 with the wav inside."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    for c in range(n_clips):
+        d = os.path.join(root, f"clip_{c}")
+        os.makedirs(d, exist_ok=True)
+        for f in range(int(seconds * fps)):
+            arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"f_{f:04d}.png"))
+        wav = (rng.standard_normal(int(sr * seconds)) * 0.3).astype(np.float32)
+        path = os.path.join(d, "audio.wav") if c % 2 else d + ".wav"
+        write_wav(path, wav, sr)
+
+
+def _tiny_video_encoders():
+    """Dimension-matched tiny SigLIP2 + Synchformer (the test_v2a fixture recipe)."""
+    import torch
+    from transformers import SiglipVisionConfig as HFC, SiglipVisionModel
+
+    from foley_tpu.configs import SynchformerConfig
+    from foley_tpu.models import siglip2, synchformer
+
+    sig_cfg = siglip2.SiglipVisionConfig(
+        hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(0)
+    hf = SiglipVisionModel(HFC(
+        hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+        num_attention_heads=2, image_size=32, patch_size=8,
+    ))
+    sig_params = siglip2.convert_hf_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, sig_cfg
+    )
+    sync_cfg = SynchformerConfig(
+        img_size=32, patch_size=8, temporal_patch_size=2, num_frames=16,
+        embed_dim=16, depth=1, num_heads=2,
+    )
+    return {
+        "siglip2": siglip2.Siglip2Encoder(sig_params, sig_cfg),
+        "synchformer": synchformer.SynchformerEncoder(
+            synchformer.init(jax.random.PRNGKey(2), sync_cfg), sync_cfg
+        ),
+    }
+
+
+def test_av_corpus_to_v2a_batches(tmp_path):
+    """Frames-dir AV pairs -> encoder-feature shards -> V2A flow-match batches with CFG
+    visual dropout -> one finite loss eval (the V2A fine-tuning data path)."""
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae, mmdit
+    from foley_tpu.training.data import (
+        AVFolderDataset,
+        NpzShardDataset,
+        encode_av_corpus,
+        flow_match_batches,
+        list_av_clips,
+    )
+
+    rng = np.random.default_rng(4)
+    corpus = str(tmp_path / "av")
+    _write_av_corpus(corpus, rng, n_clips=2, seconds=1.0, fps=16, sr=TINY.dac.sample_rate)
+    assert len(list_av_clips(corpus)) == 2  # both wav layouts (sibling + inside) found
+
+    clip_s = 0.5
+    ds = AVFolderDataset(corpus, clip_seconds=clip_s, sample_rate=TINY.dac.sample_rate,
+                         frames_fps=16, seed=0)
+    item = next(iter(ds))
+    assert item["audio"].shape == (int(clip_s * TINY.dac.sample_rate),)
+    assert item["frames"].shape == (8, 40, 40, 3)  # 0.5 s @ 16 fps
+    assert item["frames"].dtype == np.float32 and item["frames"].max() <= 1.0
+
+    deps = _tiny_video_encoders()
+    dac_params = dac_vae.init(jax.random.PRNGKey(0), TINY.dac)
+    shard_dir = str(tmp_path / "av_shards")
+    shards = encode_av_corpus(dac_params, TINY.dac, deps, TINY, ds, shard_dir,
+                              num_clips=3, clip_seconds=clip_s, shard_size=2)
+    assert len(shards) == 2
+
+    sh_ds = NpzShardDataset(shard_dir, seed=0)
+    probe = next(iter(sh_ds))
+    assert set(probe) == {"latents", "clip_feat", "sync_feat"}
+    lat_len = probe["latents"].shape[0]
+    assert lat_len == TINY.latent_length(clip_s)
+    assert probe["clip_feat"].shape[-1] == TINY.model.clip_dim
+    assert probe["sync_feat"].shape[-1] == TINY.model.sync_feat_dim
+
+    mmdit_params = mmdit.init(jax.random.PRNGKey(1), TINY.model)
+    batches = flow_match_batches(iter(sh_ds), mmdit_params, TINY, batch_size=2,
+                                 text_bucket=8)
+    b = next(batches)
+    assert b["clip_feat"].shape == (2,) + probe["clip_feat"].shape
+    assert b["sync_feat"].shape == (2,) + probe["sync_feat"].shape
+    # real features, not the learned empties: rows differ across the batch
+    assert not np.array_equal(b["clip_feat"][0], b["clip_feat"][1])
+
+    # CFG visual dropout at p=1: every row becomes the learned empty sequences at the SAME
+    # lengths (the exact contrast branch the sampler uses at inference)
+    drop_batches = flow_match_batches(iter(NpzShardDataset(shard_dir, seed=0)), mmdit_params,
+                                      TINY, batch_size=2, text_bucket=8, drop_visual_p=1.0,
+                                      drop_rng=np.random.default_rng(0))
+    db = next(drop_batches)
+    empty_clip = np.asarray(mmdit.get_empty_clip_sequence(mmdit_params, 2,
+                                                          db["clip_feat"].shape[1]))
+    np.testing.assert_array_equal(db["clip_feat"], empty_clip.astype(np.float32))
+
+    # the batch drives the training loss directly
+    from foley_tpu.training.train import flow_match_loss
+
+    loss = flow_match_loss(mmdit_params, {k: jnp.asarray(v) for k, v in b.items()},
+                           jax.random.PRNGKey(0), TINY.model, compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))
+
+
 def test_prefetch_loader_matches_source_and_propagates_errors():
     from foley_tpu.training.data import PrefetchLoader
 
