@@ -329,9 +329,14 @@ def convert_mmdit_state_dict(
 # DAC conversion (with weight-norm folding)
 # ---------------------------------------------------------------------------------
 
-def _take_wn_conv(t: _KeyTracker, prefix: str, transpose: bool = False) -> Dict:
+def _conv2(w: np.ndarray) -> np.ndarray:
+    # torch conv2d [out, in, Kh, Kw] -> [Kh, Kw, in, out]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _take_wn_conv(t: _KeyTracker, prefix: str, transpose: bool = False, transform=None) -> Dict:
     """Take a weight-normed conv, folding g/v (old- or new-style keys) into a plain weight."""
-    tr = _convT if transpose else _conv
+    tr = transform if transform is not None else (_convT if transpose else _conv)
     if t.has(prefix + ".weight_g"):
         g = t.take(prefix + ".weight_g")
         v = t.take(prefix + ".weight_v")
@@ -438,6 +443,57 @@ def convert_rvq_state_dict(sd: Dict[str, np.ndarray], cfg: RVQConfig, strict: bo
         })
     _report(t, strict, "RVQ")
     return {"quantizers": quantizers}
+
+
+def convert_discriminator_state_dict(
+    sd: Dict[str, np.ndarray], cfg, strict: bool = False, consume: bool = False,
+) -> Dict:
+    """Torch GAN ``Discriminator`` state dict -> ``models.dac_discriminator`` params.
+
+    Reference structure (``dac_vae/model/discriminator.py:175-216``):
+    ``discriminators`` is MPDs (one per period), then MSDs (per rate), then MRDs (per fft
+    size). Every conv is weight-normed; act=True convs sit at Sequential index 0
+    (``WNConv{1,2}d``), the ``conv_post`` layers are bare. ``cfg`` is a
+    ``dac_discriminator.DiscriminatorConfig`` supplying the period/rate/fft counts
+    (MRD band count is the reference's fixed 5)."""
+    t = _KeyTracker(sd if consume else dict(sd))
+    idx = 0
+
+    def wn2d(prefix: str, seq: bool) -> Dict:
+        return _take_wn_conv(t, prefix + (".0" if seq else ""), transform=_conv2)
+
+    def wn1d(prefix: str, seq: bool) -> Dict:
+        return _take_wn_conv(t, prefix + (".0" if seq else ""), transform=_conv)
+
+    mpd = []
+    for _ in cfg.periods:
+        p = f"discriminators.{idx}"
+        mpd.append({
+            "convs": [wn2d(f"{p}.convs.{j}", seq=True) for j in range(5)],
+            "post": wn2d(f"{p}.conv_post", seq=False),
+        })
+        idx += 1
+    msd = []
+    for _ in cfg.rates:
+        p = f"discriminators.{idx}"
+        msd.append({
+            "convs": [wn1d(f"{p}.convs.{j}", seq=True) for j in range(6)],
+            "post": wn1d(f"{p}.conv_post", seq=False),
+        })
+        idx += 1
+    mrd = []
+    for _ in cfg.fft_sizes:
+        p = f"discriminators.{idx}"
+        mrd.append({
+            "band_convs": [
+                [wn2d(f"{p}.band_convs.{b}.{j}", seq=True) for j in range(5)]
+                for b in range(5)
+            ],
+            "post": wn2d(f"{p}.conv_post", seq=False),
+        })
+        idx += 1
+    _report(t, strict, "Discriminator")
+    return {"mpd": mpd, "msd": msd, "mrd": mrd}
 
 
 def _report(t: _KeyTracker, strict: bool, name: str) -> None:

@@ -139,16 +139,27 @@ def init_mrd(key, dtype=jnp.float32, bands: Sequence = BANDS) -> Dict:
 
 
 def _complex_spectrogram(x: jnp.ndarray, window_length: int) -> jnp.ndarray:
-    """[B, T] -> [B, frames, freq, 2] (real/imag channels-last), hop = window/4."""
-    hop = window_length // 4
-    window = hann_window(window_length)
-    pad = window_length // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = 1 + (xp.shape[-1] - window_length) // hop
+    """[B, T] -> [B, frames, freq, 2] (real/imag channels-last), hop = window/4.
+
+    MRD builds its STFT through audiotools with ``match_stride=True``
+    (reference ``discriminator.py:126-131,149-156``): reflect-pad by
+    ``((w-h)//2, (w-h)//2 + ceil(T/h)*h - T)``, then a *centered* torch.stft (a further w/2
+    reflect pad on the already-padded signal — two-stage reflect, NOT one fused pad), then
+    drop the first/last two frames so exactly ``ceil(T/h)`` frames remain. Pinned against
+    the reference code in tests/test_reference_oracle_gan.py."""
+    w = window_length
+    hop = w // 4
+    t = x.shape[-1]
+    right_pad = -(-t // hop) * hop - t
+    p1 = (w - hop) // 2
+    xp = jnp.pad(x, ((0, 0), (p1, p1 + right_pad)), mode="reflect")
+    xp = jnp.pad(xp, ((0, 0), (w // 2, w // 2)), mode="reflect")
+    window = hann_window(w)
+    n_frames = 1 + (xp.shape[-1] - w) // hop
     starts = jnp.arange(n_frames) * hop
-    idx = starts[:, None] + jnp.arange(window_length)[None, :]
+    idx = starts[:, None] + jnp.arange(w)[None, :]
     frames = xp[:, idx] * window
-    spec = jnp.fft.rfft(frames, axis=-1)  # [B, frames, freq]
+    spec = jnp.fft.rfft(frames, axis=-1)[:, 2:-2]  # [B, frames, freq], match_stride trim
     return jnp.stack([spec.real, spec.imag], axis=-1)
 
 

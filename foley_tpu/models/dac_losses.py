@@ -13,7 +13,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from foley_tpu.ops.audio_dsp import hann_window, mel_filterbank
+from foley_tpu.ops.audio_dsp import hann_window, mel_filterbank_slaney
 
 
 def l1_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -86,14 +86,18 @@ def mel_spectrogram_loss(
     log_weight: float = 1.0,
     pow: float = 2.0,
 ) -> jnp.ndarray:
-    """Mel-spectrogram loss (reference ``loss.py:231-368``)."""
+    """Mel-spectrogram loss (reference ``loss.py:231-368``).
+
+    audiotools' ``mel_spectrogram`` applies a librosa-slaney mel basis to the *magnitude*
+    STFT (not the power spectrum) — pinned vs the reference's literal loss code in
+    tests/test_reference_oracle_gan.py."""
     loss = jnp.zeros(())
     for mels, w in zip(n_mels, window_lengths):
         mx = _stft_mag(x, w, w // 4)
         my = _stft_mag(y, w, w // 4)
-        fb = mel_filterbank(w // 2 + 1, mels, sample_rate)
-        mel_x = jnp.einsum("...ft,fm->...mt", mx ** 2, fb) ** 0.5
-        mel_y = jnp.einsum("...ft,fm->...mt", my ** 2, fb) ** 0.5
+        fb = mel_filterbank_slaney(w // 2 + 1, mels, sample_rate)
+        mel_x = jnp.einsum("...ft,fm->...mt", mx, fb)
+        mel_y = jnp.einsum("...ft,fm->...mt", my, fb)
         loss = loss + log_weight * l1_loss(
             jnp.log10(jnp.maximum(mel_x, clamp_eps) ** pow),
             jnp.log10(jnp.maximum(mel_y, clamp_eps) ** pow),

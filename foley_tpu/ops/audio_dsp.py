@@ -86,6 +86,67 @@ def mel_filterbank(
     return jnp.asarray(fb, jnp.float32)
 
 
+def _hz_to_mel_slaney(f):
+    """librosa hz_to_mel(htk=False): linear below 1 kHz, log-spaced above."""
+    f = np.asarray(f, np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep, f / f_sp)
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f_sp * m)
+
+
+def mel_filterbank_slaney_np(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> np.ndarray:
+    """[n_freqs, n_mels] Slaney-scale, Slaney-normalized filterbank (librosa.filters.mel
+    defaults: htk=False, norm='slaney').
+
+    audiotools' ``AudioSignal.mel_spectrogram`` — which the reference's DAC
+    ``MelSpectrogramLoss`` (``dac_vae/nn/loss.py:231-328``) is built on — constructs its mel
+    basis with ``librosa.filters.mel`` at these defaults. librosa/audiotools are absent in
+    this image; this numpy transcription of the librosa formula is the shared assumption the
+    literal-reference GAN oracle (tests/test_reference_oracle_gan.py) documents as its
+    audiotools boundary."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    fftfreqs = np.linspace(0, sample_rate / 2.0, n_freqs)
+    mel_f = _mel_to_hz_slaney(
+        np.linspace(_hz_to_mel_slaney(f_min), _hz_to_mel_slaney(f_max), n_mels + 2)
+    )
+    fdiff = np.diff(mel_f)                                  # [n_mels+1]
+    ramps = mel_f[:, None] - fftfreqs[None, :]              # [n_mels+2, n_freqs]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))     # [n_mels, n_freqs]
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])  # slaney area normalization
+    weights = weights * enorm[:, None]
+    return weights.T.astype(np.float32)                     # [n_freqs, n_mels]
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank_slaney(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> jnp.ndarray:
+    return jnp.asarray(mel_filterbank_slaney_np(n_freqs, n_mels, sample_rate, f_min, f_max))
+
+
 def mel_spectrogram(
     x: jnp.ndarray,
     sample_rate: int = 16000,

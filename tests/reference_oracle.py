@@ -107,6 +107,127 @@ class _BaseOutput:
         return values[key]
 
 
+class _STFTParams:
+    """audiotools.STFTParams: a plain field bag; ``None`` fields fall back to the signal's
+    defaults inside ``AudioSignal.stft`` (descript-audiotools semantics)."""
+
+    def __init__(self, window_length=None, hop_length=None, window_type=None,
+                 match_stride=None, padding_type=None):
+        self.window_length = window_length
+        self.hop_length = hop_length
+        self.window_type = window_type
+        self.match_stride = match_stride
+        self.padding_type = padding_type
+
+
+class _AudioSignal:
+    """Functional audiotools.AudioSignal stub covering exactly the surface the reference's
+    DAC discriminator/loss modules call (``dac_vae/model/discriminator.py``,
+    ``dac_vae/nn/loss.py``): ``audio_data``, ``stft`` (incl. match_stride pad/trim),
+    ``magnitude``, ``mel_spectrogram`` (magnitude-mel, librosa-slaney basis), identity
+    ``resample``, ``clone``/``detach``.
+
+    audiotools itself is absent in this image; these semantics are transcribed from
+    descript-audiotools (AudioSignal.stft: reflect pad ((w-h)//2, (w-h)//2 + ceil(T/h)*h - T)
+    when match_stride, then a centered torch.stft, then drop 2 frames each side;
+    mel_spectrogram: |stft| @ librosa mel basis). This transcription is the documented
+    shared-assumption boundary of the literal-reference GAN oracle — every line of
+    discriminator/loss math above it is the reference's own code.
+    """
+
+    def __init__(self, audio_data, sample_rate, stft_params=None):
+        if not torch.is_tensor(audio_data):
+            audio_data = torch.as_tensor(audio_data)
+        if audio_data.ndim == 1:
+            audio_data = audio_data[None, None]
+        elif audio_data.ndim == 2:
+            audio_data = audio_data[:, None]
+        self.audio_data = audio_data
+        self.sample_rate = sample_rate
+        self.stft_params = stft_params or _STFTParams(
+            window_length=2048, hop_length=512, window_type="hann",
+            match_stride=False, padding_type="reflect",
+        )
+        self.stft_data = None
+
+    @property
+    def batch_size(self):
+        return self.audio_data.shape[0]
+
+    @property
+    def num_channels(self):
+        return self.audio_data.shape[1]
+
+    @property
+    def signal_length(self):
+        return self.audio_data.shape[-1]
+
+    def resample(self, sample_rate):
+        if sample_rate != self.sample_rate:
+            raise NotImplementedError(
+                "oracle AudioSignal stub only supports identity resample (MSD rate=1); "
+                "rate>1 polyphase resampling is a documented divergence (PARITY.md)"
+            )
+        return self
+
+    def clone(self):
+        sig = _AudioSignal(self.audio_data.clone(), self.sample_rate, self.stft_params)
+        return sig
+
+    def detach(self):
+        self.audio_data = self.audio_data.detach()
+        return self
+
+    def stft(self, window_length=None, hop_length=None, window_type=None,
+             match_stride=None, padding_type=None):
+        w = window_length if window_length is not None else self.stft_params.window_length
+        h = hop_length if hop_length is not None else self.stft_params.hop_length
+        wt = window_type if window_type is not None else self.stft_params.window_type
+        ms = match_stride if match_stride is not None else self.stft_params.match_stride
+        pt = padding_type if padding_type is not None else self.stft_params.padding_type
+        wt = wt or "hann"
+        pt = pt or "reflect"
+        ms = bool(ms)
+        if wt != "hann":
+            raise NotImplementedError(f"oracle stub supports hann windows only, got {wt}")
+        if ms:
+            assert h == w // 4, "match_stride requires hop == window//4 (audiotools)"
+            t = self.signal_length
+            right_pad = -(-t // h) * h - t
+            pad = (w - h) // 2
+        else:
+            right_pad = 0
+            pad = 0
+        x = torch.nn.functional.pad(self.audio_data, (pad, pad + right_pad), pt)
+        window = torch.hann_window(w, periodic=True, dtype=x.dtype)
+        stft_data = torch.stft(
+            x.reshape(-1, x.shape[-1]), n_fft=w, hop_length=h, window=window,
+            return_complex=True, center=True,
+        )
+        _, nf, nt = stft_data.shape
+        stft_data = stft_data.reshape(self.batch_size, self.num_channels, nf, nt)
+        if ms:
+            stft_data = stft_data[..., 2:-2]
+        self.stft_data = stft_data
+        return stft_data
+
+    @property
+    def magnitude(self):
+        if self.stft_data is None:
+            self.stft()
+        return torch.abs(self.stft_data)
+
+    def mel_spectrogram(self, n_mels, mel_fmin=0.0, mel_fmax=None, **kwargs):
+        from foley_tpu.ops.audio_dsp import mel_filterbank_slaney_np
+
+        mag = torch.abs(self.stft(**kwargs))                       # [b, c, f, t]
+        nf = mag.shape[2]
+        fb = mel_filterbank_slaney_np(nf, n_mels, self.sample_rate, mel_fmin, mel_fmax)
+        basis = torch.from_numpy(fb).to(mag.dtype)                 # [f, m]
+        mel = mag.transpose(2, -1) @ basis                         # [b, c, t, m]
+        return mel.transpose(-1, 2)                                # [b, c, m, t]
+
+
 class _NullLogger:
     def _log(self, *a, **k):
         pass
@@ -300,8 +421,8 @@ def install_stubs() -> None:
 
     audiotools = _mk_module(
         "audiotools",
-        AudioSignal=type("AudioSignal", (), {}),
-        STFTParams=type("STFTParams", (), {"__init__": lambda self, **k: None}),
+        AudioSignal=_AudioSignal,
+        STFTParams=_STFTParams,
     )
     audiotools.ml = _mk_module(
         "audiotools.ml", BaseModel=_BaseModel, Accelerator=type("Accelerator", (), {})
