@@ -210,7 +210,8 @@ def main(argv=None) -> int:
             from foley_tpu.io.audio import merge_audio_video
 
             out_video = os.path.splitext(args.output)[0] + ".mp4"
-            merge_audio_video(args.single_video, args.output, out_video)
+            # frames-dir inputs mux to .avi without ffmpeg; the callee returns the real path
+            out_video = merge_audio_video(args.single_video, args.output, out_video)
             logger.info(f"muxed {out_video}")
         return 0
     except ImportError as e:

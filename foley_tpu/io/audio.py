@@ -6,6 +6,7 @@ audio+video merge shells out to ffmpeg like ``media_utils.py:16-101`` when avail
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
 import wave
@@ -112,11 +113,21 @@ def merge_audio_video(
     ffmpeg_bin: Optional[str] = None,
 ) -> str:
     """Mux audio onto video with ffmpeg: copy video stream, AAC stereo from mono
-    (reference ``media_utils.py:16-101``)."""
+    (reference ``media_utils.py:16-101``).
+
+    When ``video_path`` is an image-frame DIRECTORY (the framework's no-video-toolchain
+    V2A input, ``pipeline/video.py::read_frames_dir``), no ffmpeg is needed: the frames +
+    audio are muxed into an MJPEG+PCM AVI (``io/avi.py``) and the actual ``.avi`` path is
+    returned — use the return value, not ``output_path``."""
+    if os.path.isdir(video_path):
+        from foley_tpu.io.avi import merge_frames_dir_audio
+
+        return merge_frames_dir_audio(video_path, audio_path, output_path, quality=quality)
     ffmpeg = ffmpeg_bin or shutil.which("ffmpeg")
     if ffmpeg is None:
         raise MediaProcessingError(
-            "ffmpeg not found. Please install ffmpeg: https://ffmpeg.org/download.html"
+            "ffmpeg not found (required to mux onto a video FILE; a frames directory "
+            "input muxes without it). Install ffmpeg: https://ffmpeg.org/download.html"
         )
     cmd = [
         ffmpeg, "-y",

@@ -1,0 +1,220 @@
+"""Dependency-free AVI (MJPEG + PCM) muxer — the no-ffmpeg fallback for merge_audio_video.
+
+The reference muxes generated audio onto the input video by shelling out to ffmpeg
+(reference ``media_utils.py:16-101``: copy video stream, AAC stereo panned from mono).
+This framework also ingests V2A conditioning from *image-frame directories*
+(``pipeline/video.py::read_frames_dir``) so it runs where no video toolchain exists — but
+that left no way to produce a watchable muxed result in those environments. This module
+closes the loop: it writes a standard RIFF/AVI container with an MJPEG video stream
+(frames JPEG-encoded via PIL, the same library the frames-dir reader already uses) and a
+16-bit stereo PCM audio stream (mono duplicated to both channels, mirroring the
+reference's ``pan=stereo|c0=c0|c1=c0``), interleaved per frame with a standard ``idx1``
+index. Pure stdlib ``struct`` byte assembly — no ffmpeg, no PyAV.
+
+Beyond-reference capability (PARITY.md "Beyond-reference"); the ffmpeg path remains the
+default whenever an actual video *file* is the input.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# JPEG quality per the sampler's audio-quality knob (the reference maps the same knob to
+# AAC bitrates; here it shapes the MJPEG stream).
+_JPEG_QUALITY = {"low": 70, "medium": 85, "high": 95}
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _list(fourcc: bytes, data: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + data)
+
+
+def _frames_to_uint8(frames: np.ndarray) -> np.ndarray:
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected [T, H, W, 3] frames, got {frames.shape}")
+    return frames
+
+
+def _audio_to_stereo_i16(audio: np.ndarray) -> np.ndarray:
+    """Mono float [-1,1] (or int16) -> interleaved stereo int16, both channels the mono
+    signal (the reference's pan=stereo|c0=c0|c1=c0)."""
+    audio = np.asarray(audio)
+    if audio.ndim == 2:  # [C, T] -> mono mix like read_wav
+        audio = audio.mean(axis=0)
+    if audio.dtype != np.int16:
+        audio = np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+    return np.repeat(audio[:, None], 2, axis=1).reshape(-1)  # interleaved LRLR...
+
+
+def mux_frames_audio_avi(
+    frames: np.ndarray,
+    fps: float,
+    audio: np.ndarray,
+    sample_rate: int,
+    output_path: str,
+    quality: str = "high",
+) -> str:
+    """Write ``output_path`` as an AVI: MJPEG video from ``frames`` ([T, H, W, 3] uint8 or
+    float [0,1]) at ``fps``, 16-bit stereo PCM from mono ``audio`` float [-1,1].
+
+    Streams are interleaved per video frame (``00dc`` then that frame's ``01wb`` slice)
+    and indexed in ``idx1``; audio past the last frame interval rides the final chunk.
+    """
+    from PIL import Image
+
+    frames = _frames_to_uint8(frames)
+    pcm = _audio_to_stereo_i16(audio)
+    n_frames, height, width = frames.shape[0], frames.shape[1], frames.shape[2]
+    jpeg_q = _JPEG_QUALITY.get(quality, _JPEG_QUALITY["high"])
+
+    jpegs: List[bytes] = []
+    for fr in frames:
+        buf = io.BytesIO()
+        Image.fromarray(fr).save(buf, format="JPEG", quality=jpeg_q)
+        jpegs.append(buf.getvalue())
+
+    # per-frame audio slices (in samples-per-channel), last one takes the tail
+    n_samples = len(pcm) // 2
+    bounds = [min(int(round(i * sample_rate / fps)), n_samples) for i in range(n_frames + 1)]
+    bounds[-1] = n_samples
+
+    body = bytearray()
+    index: List[Tuple[bytes, int, int]] = []  # (fourcc, offset-from-'movi'-fourcc, size)
+
+    def emit(fourcc: bytes, data: bytes) -> None:
+        index.append((fourcc, 4 + len(body), len(data)))
+        body.extend(_chunk(fourcc, data))
+
+    for i, jb in enumerate(jpegs):
+        emit(b"00dc", jb)
+        seg = pcm[2 * bounds[i]: 2 * bounds[i + 1]]
+        if seg.size:
+            emit(b"01wb", seg.astype("<i2").tobytes())
+
+    movi = _list(b"movi", bytes(body))
+    idx1 = _chunk(b"idx1", b"".join(
+        fcc + struct.pack("<III", 0x10, ofs, size) for fcc, ofs, size in index
+    ))
+
+    block_align = 4  # stereo int16
+    byte_rate = sample_rate * block_align
+    duration = max(n_frames / fps, 1e-6)
+    max_jpeg = max((len(j) for j in jpegs), default=0)
+
+    avih = struct.pack(
+        "<14I",
+        int(round(1e6 / fps)),                       # dwMicroSecPerFrame
+        int(sum(map(len, jpegs)) / duration) + byte_rate,  # dwMaxBytesPerSec
+        0,                                           # dwPaddingGranularity
+        0x110,                                       # AVIF_HASINDEX | AVIF_ISINTERLEAVED
+        n_frames, 0, 2,                              # dwTotalFrames/dwInitialFrames/dwStreams
+        max_jpeg,                                    # dwSuggestedBufferSize
+        width, height, 0, 0, 0, 0,
+    )
+    strh_v = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0,
+        1000, int(round(fps * 1000)),                # dwScale/dwRate (fractional fps)
+        0, n_frames, max_jpeg, 0xFFFFFFFF, 0,
+        0, 0, width, height,                         # rcFrame
+    )
+    strf_v = struct.pack(  # BITMAPINFOHEADER
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    strh_a = b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0,
+        block_align, byte_rate,                      # dwScale/dwRate: bytes-based PCM timing
+        0, n_samples, byte_rate, 0xFFFFFFFF, block_align,
+        0, 0, 0, 0,
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 2, sample_rate, byte_rate, block_align, 16)
+
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+    payload = b"AVI " + hdrl + movi + idx1
+    with open(output_path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    return output_path
+
+
+def merge_frames_dir_audio(
+    frames_dir: str,
+    audio_path: str,
+    output_path: str,
+    fps: float = 16.0,
+    quality: str = "high",
+) -> str:
+    """Mux a frames directory + WAV into an AVI (no external tools).
+
+    The output extension is forced to ``.avi`` (the container actually written) — callers
+    should use the returned path. ``fps`` declares the sequence's playback rate, matching
+    ``read_frames_dir``'s convention."""
+    from foley_tpu.io.audio import read_wav
+    from foley_tpu.pipeline.video import read_frames_dir
+
+    frames, eff_fps = read_frames_dir(frames_dir, fps=fps)
+    audio, sr = read_wav(audio_path)
+    out = os.path.splitext(output_path)[0] + ".avi"
+    return mux_frames_audio_avi(frames, eff_fps, audio, sr, out, quality=quality)
+
+
+# ---------------------------------------------------------------------------------
+# Minimal reader (round-trip validation + tests)
+# ---------------------------------------------------------------------------------
+
+def read_avi_info(path: str) -> dict:
+    """Parse an AVI's headers and stream chunks (enough to validate our own output and
+    re-extract the streams): returns dict with width/height/fps/n_frames, audio
+    sample_rate/channels, the JPEG payloads, and the concatenated PCM bytes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI file: {path}")
+
+    info: dict = {"jpegs": [], "pcm": b"", "index_entries": 0}
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            payload = buf[pos + 8:pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(buf, pos + 12, pos + 8 + size)
+            elif fourcc == b"avih":
+                fields = struct.unpack("<14I", payload[:56])
+                info["fps"] = 1e6 / fields[0]
+                info["n_frames"] = fields[4]
+                info["width"], info["height"] = fields[8], fields[9]
+            elif fourcc == b"strh" and payload[:4] == b"vids":
+                scale, rate = struct.unpack("<II", payload[20:28])
+                info["fps"] = rate / max(scale, 1)
+            elif fourcc == b"strf" and len(payload) == 16:
+                tag, ch, sr, _, _, bits = struct.unpack("<HHIIHH", payload)
+                info.update(audio_format=tag, channels=ch, sample_rate=sr, bits=bits)
+            elif fourcc == b"00dc":
+                info["jpegs"].append(payload)
+            elif fourcc == b"01wb":
+                info["pcm"] += payload
+            elif fourcc == b"idx1":
+                info["index_entries"] = size // 16
+            pos += 8 + size + (size % 2)
+
+    walk(data, 12, len(data))
+    return info

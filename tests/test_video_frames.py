@@ -210,3 +210,76 @@ def test_pyav_fallback_with_stub(monkeypatch, tmp_path):
 
     with pytest.raises(RuntimeError, match="ffmpeg or the 'av'"):
         video_mod.read_video_frames(str(vid))
+
+
+# ---------------------------------------------------------------------------------
+# AVI muxer (io/avi.py) — the no-ffmpeg merge_audio_video fallback for frames dirs
+# ---------------------------------------------------------------------------------
+
+def test_avi_mux_round_trip(tmp_path):
+    """mux_frames_audio_avi writes a parseable RIFF/AVI whose MJPEG frames decode back to
+    the source images (JPEG-lossy tolerance) and whose PCM dequantizes to the source mono
+    audio duplicated to stereo."""
+    from PIL import Image
+
+    from foley_tpu.io.avi import mux_frames_audio_avi, read_avi_info
+
+    rng = np.random.default_rng(3)
+    n, h, w, fps, sr = 6, 32, 48, 12.0, 8000
+    # smooth gradients: JPEG-friendly so the lossy round-trip stays tight
+    grid = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.stack([
+        np.stack([
+            grid[0] / h * 255, grid[1] / w * 255, np.full((h, w), 40 * i, np.float32)
+        ], axis=-1) for i in range(n)
+    ]).astype(np.uint8)
+    audio = (0.3 * np.sin(2 * np.pi * 440 * np.arange(int(0.5 * sr)) / sr)).astype(np.float32)
+
+    out = str(tmp_path / "clip.avi")
+    assert mux_frames_audio_avi(frames, fps, audio, sr, out) == out
+    info = read_avi_info(out)
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+    assert abs(info["fps"] - fps) < 1e-6
+    assert info["audio_format"] == 1 and info["channels"] == 2
+    assert info["sample_rate"] == sr and info["bits"] == 16
+    assert len(info["jpegs"]) == n
+    assert info["index_entries"] == n + sum(
+        1 for i in range(n)
+        if int(round((i + 1) * sr / fps)) > int(round(i * sr / fps)) or i == n - 1
+    )
+    for i, jb in enumerate(info["jpegs"]):
+        import io as _io
+
+        dec = np.asarray(Image.open(_io.BytesIO(jb)).convert("RGB"), np.float32)
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec - frames[i].astype(np.float32)).mean() < 8.0  # JPEG quality 95
+    pcm = np.frombuffer(info["pcm"], "<i2").reshape(-1, 2)
+    assert pcm.shape[0] == len(audio)
+    np.testing.assert_array_equal(pcm[:, 0], pcm[:, 1])  # mono panned to both channels
+    np.testing.assert_allclose(pcm[:, 0] / 32767.0, audio, atol=1.0 / 32767.0)
+
+
+def test_merge_audio_video_frames_dir_no_ffmpeg(tmp_path, monkeypatch):
+    """merge_audio_video on a frames DIRECTORY muxes an .avi with no ffmpeg binary at all,
+    returning the real output path; a video FILE without ffmpeg still errors actionably."""
+    import shutil as _shutil
+
+    from foley_tpu.io.audio import MediaProcessingError, merge_audio_video, write_wav
+    from foley_tpu.io.avi import read_avi_info
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)  # simulate no ffmpeg anywhere
+
+    d = str(tmp_path / "frames")
+    _write_frames(d, n=5, h=16, w=16)
+    wav = str(tmp_path / "a.wav")
+    write_wav(wav, 0.2 * np.ones(4000, np.float32), 8000)
+
+    out = merge_audio_video(d, wav, str(tmp_path / "out.mp4"))
+    assert out.endswith(".avi") and os.path.exists(out)
+    info = read_avi_info(out)
+    assert info["n_frames"] == 5 and info["sample_rate"] == 8000
+
+    vid_file = tmp_path / "clip.mp4"
+    vid_file.write_bytes(b"\x00" * 64)
+    with pytest.raises(MediaProcessingError, match="ffmpeg not found"):
+        merge_audio_video(str(vid_file), wav, str(tmp_path / "out2.mp4"))
