@@ -58,15 +58,14 @@ def _audio_to_stereo_i16(audio: np.ndarray) -> np.ndarray:
     return np.repeat(audio[:, None], 2, axis=1).reshape(-1)  # interleaved LRLR...
 
 
-def mux_frames_audio_avi(
+def build_avi_bytes(
     frames: np.ndarray,
     fps: float,
     audio: np.ndarray,
     sample_rate: int,
-    output_path: str,
     quality: str = "high",
-) -> str:
-    """Write ``output_path`` as an AVI: MJPEG video from ``frames`` ([T, H, W, 3] uint8 or
+) -> bytes:
+    """Assemble an AVI in memory: MJPEG video from ``frames`` ([T, H, W, 3] uint8 or
     float [0,1]) at ``fps``, 16-bit stereo PCM from mono ``audio`` float [-1,1].
 
     Streams are interleaved per video frame (``00dc`` then that frame's ``01wb`` slice)
@@ -149,8 +148,20 @@ def mux_frames_audio_avi(
         + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
     )
     payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def mux_frames_audio_avi(
+    frames: np.ndarray,
+    fps: float,
+    audio: np.ndarray,
+    sample_rate: int,
+    output_path: str,
+    quality: str = "high",
+) -> str:
+    """``build_avi_bytes`` written to ``output_path``."""
     with open(output_path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+        f.write(build_avi_bytes(frames, fps, audio, sample_rate, quality=quality))
     return output_path
 
 

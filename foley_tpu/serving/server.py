@@ -12,12 +12,14 @@ paused by XLA compilation), plus a stdlib HTTP server exposing:
 - ``POST /generate``          -> WAV bytes (audio/wav) or JSON with base64 audio
   body: {"prompt": str, "negative_prompt": str, "duration": float, "steps": int,
          "cfg_scale": float, "sampler": str, "batch_size": int, "seed": int,
-         "response": "wav"|"json"}
+         "response": "wav"|"json"|"avi"}
   V2A (server started with video encoders): add {"frames_b64": base64(.npz with "frames"
   [T,H,W,3] uint8 or float[0,1]), "frames_fps": float} or {"frames_path": server-local
   video file / image-frames directory}. Visual features reuse the T2A shape buckets
   (clip/sync lengths are duration-derived either way), so V2A requests hit the same
-  warmed programs.
+  warmed programs. Add {"mux_video": true} to get the request's frames muxed with the
+  generated audio (MJPEG+PCM AVI, ``io/avi.py`` — no ffmpeg on the server): JSON responses
+  gain "video_base64"; "response": "avi" returns the container directly (video/x-msvideo).
 
 Generation is serialized with a lock (one TPU program at a time); duration is snapped to the
 warmed bucket set to avoid recompiles in production. ``BatchingFoleyService`` (enabled with
@@ -206,10 +208,13 @@ class FoleyService:
             return read_video_frames(path, dir_fps=fps)
         return None, None
 
-    def _visual_features(self, request: Dict, bucket_duration: float):
-        """Encode request video (when present) into (clip_feat, sync_feat) or (None, None)."""
+    def _visual_features(self, request: Dict, bucket_duration: float,
+                         return_frames: bool = False):
+        """Encode request video (when present) into (clip_feat, sync_feat, frames_fps);
+        ``frames_fps`` is (frames, fps) when ``return_frames`` (for response muxing), else
+        None. All three are None for T2A requests."""
         if "frames_b64" not in request and "frames_path" not in request:
-            return None, None
+            return None, None, None
         if not self.video_encoders:
             # before decoding the (possibly multi-MB) payload: fail with the real reason
             raise ValueError(
@@ -219,9 +224,10 @@ class FoleyService:
         frames, fps = self._frames_from_request(request)
         from foley_tpu.api.nodes import HunyuanFoleySampler
 
-        return HunyuanFoleySampler._encode_video(
+        clip_feat, sync_feat = HunyuanFoleySampler._encode_video(
             self.video_encoders, frames, fps, bucket_duration, self.bundle.pipeline_cfg
         )
+        return clip_feat, sync_feat, ((frames, fps) if return_frames else None)
 
     # -- inference --------------------------------------------------------------
     def generate(self, request: Dict) -> Dict:
@@ -233,7 +239,10 @@ class FoleyService:
         bucket_duration = self._snap_duration(duration)
         steps = int(request.get("steps", self.default_steps))
         batch = int(request.get("batch_size", 1))
-        clip_feat, sync_feat = self._visual_features(request, bucket_duration)
+        want_mux = bool(request.get("mux_video", False))
+        clip_feat, sync_feat, frames_fps = self._visual_features(
+            request, bucket_duration, return_frames=want_mux
+        )
         if self.text_encoder is not None:
             from foley_tpu.models import clap as clap_mod
 
@@ -257,11 +266,22 @@ class FoleyService:
                 text_bucket=self.text_buckets[0],
             )
         n = int(duration * result.sample_rate)
-        return {
+        out = {
             "waveform": np.asarray(result.audio_first)[0, :, :n],  # [C, T] trimmed to request
             "sample_rate": result.sample_rate,
             "timings": result.timings,
         }
+        if frames_fps is not None:
+            # mux the request's own frames with the generated audio (MJPEG+PCM AVI,
+            # io/avi.py — no ffmpeg on the server required)
+            from foley_tpu.io.avi import build_avi_bytes
+
+            frames, fps = frames_fps
+            out["video_avi"] = build_avi_bytes(
+                frames, fps, out["waveform"], result.sample_rate,
+                quality=str(request.get("quality", "high")),
+            )
+        return out
 
 
 class BatchingFoleyService(FoleyService):
@@ -507,12 +527,18 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
                 request = json.loads(self.rfile.read(length) or b"{}")
                 out = service.generate(request)
                 wav = _wav_bytes(out["waveform"], out["sample_rate"])
-                if request.get("response", "wav") == "json":
-                    body = json.dumps({
+                mode = request.get("response", "wav")
+                if mode == "json":
+                    payload = {
                         "audio_base64": base64.b64encode(wav).decode(),
                         "sample_rate": out["sample_rate"],
                         "timings": out["timings"],
-                    }).encode()
+                    }
+                    if "video_avi" in out:
+                        payload["video_base64"] = base64.b64encode(out["video_avi"]).decode()
+                    body = json.dumps(payload).encode()
+                elif mode == "avi" and "video_avi" in out:
+                    body, ctype = out["video_avi"], "video/x-msvideo"
                 else:
                     body, ctype = wav, "audio/wav"
                 ok = True

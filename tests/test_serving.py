@@ -250,6 +250,35 @@ def test_v2a_request_service_level(service):
     assert np.all(np.isfinite(wf)) and np.abs(wf).max() > 0
 
 
+def test_v2a_mux_video_response(service):
+    """mux_video=true returns the request's own frames muxed with the generated audio as
+    an MJPEG+PCM AVI (io/avi.py) — no ffmpeg on the server."""
+    from foley_tpu.io.avi import read_avi_info
+
+    out = service.generate({
+        "prompt": "clink", "duration": 1.0, "steps": 2, "seed": 1,
+        "frames_b64": _frames_b64(), "frames_fps": 16.0, "mux_video": True,
+    })
+    assert "video_avi" in out
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".avi") as f:
+        f.write(out["video_avi"])
+        f.flush()
+        info = read_avi_info(f.name)
+    assert info["n_frames"] == 16 and len(info["jpegs"]) == 16
+    assert info["sample_rate"] == out["sample_rate"] and info["channels"] == 2
+    pcm = np.frombuffer(info["pcm"], "<i2").reshape(-1, 2)
+    assert pcm.shape[0] == out["waveform"].shape[-1]
+    np.testing.assert_allclose(
+        pcm[:, 0] / 32767.0, np.asarray(out["waveform"])[0], atol=1.5 / 32767.0
+    )
+    # T2A requests with mux_video are a no-op (no frames to mux)
+    out2 = service.generate({"prompt": "clink", "duration": 1.0, "steps": 2,
+                             "seed": 1, "mux_video": True})
+    assert "video_avi" not in out2
+
+
 def test_v2a_request_frames_path(service, tmp_path):
     from PIL import Image
 
