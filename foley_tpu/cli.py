@@ -319,6 +319,7 @@ def _desync_score(args, logger) -> int:
         )
         frames, _ = read_video_frames(args.single_video, target_fps=25,
                                       dir_fps=args.frames_fps)
+        waveform = None
         if args.audio_input:
             # WAV provided directly (stdlib/native reader, resampled to the scorer's
             # 16 kHz) — no ffmpeg needed; the only option when --single_video is a
@@ -326,8 +327,22 @@ def _desync_score(args, logger) -> int:
             from foley_tpu.io.audio import read_wav
 
             waveform, _ = read_wav(args.audio_input, target_sr=16000)
-        else:
-            # extract the video's own audio track at 16 kHz via ffmpeg
+        elif not os.path.isdir(args.single_video):
+            # MJPEG+PCM AVIs (our muxer's format, io/avi.py) carry their audio track
+            # readable in-process — score them with zero external tools
+            from foley_tpu.io.avi import is_mjpeg_avi, read_avi
+
+            if is_mjpeg_avi(args.single_video):
+                try:
+                    _, _, audio, sr = read_avi(args.single_video)
+                except ValueError:
+                    audio = None
+                if audio is not None:
+                    from foley_tpu.io.native import resample_linear
+
+                    waveform = resample_linear(audio, sr, 16000) if sr != 16000 else audio
+        if waveform is None:
+            # anything else: extract the audio track at 16 kHz via ffmpeg
             import shutil
             import subprocess
 

@@ -214,8 +214,11 @@ def read_avi_info(path: str) -> dict:
                 info["n_frames"] = fields[4]
                 info["width"], info["height"] = fields[8], fields[9]
             elif fourcc == b"strh" and payload[:4] == b"vids":
+                info["video_handler"] = payload[4:8]
                 scale, rate = struct.unpack("<II", payload[20:28])
                 info["fps"] = rate / max(scale, 1)
+            elif fourcc == b"strf" and len(payload) == 40:
+                info["video_compression"] = payload[16:20]  # BITMAPINFOHEADER.biCompression
             elif fourcc == b"strf" and len(payload) == 16:
                 tag, ch, sr, _, _, bits = struct.unpack("<HHIIHH", payload)
                 info.update(audio_format=tag, channels=ch, sample_rate=sr, bits=bits)
@@ -229,3 +232,43 @@ def read_avi_info(path: str) -> dict:
 
     walk(data, 12, len(data))
     return info
+
+
+def is_mjpeg_avi(path: str) -> bool:
+    """Cheap sniff: RIFF/AVI magic in the first 12 bytes (full MJPG validation happens in
+    ``read_avi``, which raises on unsupported codecs)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError:
+        return False
+    return len(head) == 12 and head[:4] == b"RIFF" and head[8:12] == b"AVI "
+
+
+def read_avi(path: str):
+    """Decode an MJPEG(+PCM) AVI with no external tools (PIL for the JPEG frames).
+
+    Returns (frames float32 [T, H, W, 3] in [0,1], fps, audio float32 mono or None,
+    sample_rate or None). Raises on non-MJPEG video or non-16-bit-PCM audio — callers
+    fall back to ffmpeg/PyAV for those."""
+    from PIL import Image
+
+    info = read_avi_info(path)
+    comp = info.get("video_compression", info.get("video_handler", b""))
+    if comp not in (b"MJPG", b"mjpg"):
+        raise ValueError(f"AVI video codec {comp!r} is not MJPEG; use ffmpeg/PyAV for {path}")
+    if not info["jpegs"]:
+        raise ValueError(f"no video frames in {path}")
+    frames = np.stack([
+        np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"), np.uint8)
+        for jb in info["jpegs"]
+    ]).astype(np.float32) / 255.0
+
+    audio = sr = None
+    if info["pcm"] and info.get("audio_format") == 1 and info.get("bits") == 16:
+        ch = max(int(info.get("channels", 1)), 1)
+        pcm = np.frombuffer(info["pcm"], "<i2")
+        pcm = pcm[: (len(pcm) // ch) * ch].reshape(-1, ch)
+        audio = (pcm.astype(np.float32) / 32767.0).mean(axis=1)
+        sr = int(info["sample_rate"])
+    return frames, float(info["fps"]), audio, sr

@@ -107,6 +107,24 @@ def read_video_frames(
     (read via PIL, declared to play at ``dir_fps``)."""
     if os.path.isdir(path):
         return read_frames_dir(path, fps=dir_fps, target_fps=target_fps, max_frames=max_frames)
+    from foley_tpu.io.avi import is_mjpeg_avi, read_avi
+
+    if is_mjpeg_avi(path):
+        # our own muxer's container (io/avi.py) decodes in-process — no toolchain needed;
+        # non-MJPEG AVIs fall through to ffmpeg/PyAV below
+        try:
+            frames, src_fps, _, _ = read_avi(path)
+        except ValueError:
+            pass
+        else:
+            if target_fps and abs(target_fps - src_fps) > 1e-6:
+                n_out = max(1, int(round(len(frames) * target_fps / src_fps)))
+                idx = np.clip(np.round(np.arange(n_out) * src_fps / target_fps).astype(int),
+                              0, len(frames) - 1)
+                frames, src_fps = frames[idx], target_fps
+            if max_frames:
+                frames = frames[:max_frames]
+            return frames, float(src_fps)
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         # in-process decode fallback, the reference's own path (feature_utils.py:20-61

@@ -283,3 +283,58 @@ def test_merge_audio_video_frames_dir_no_ffmpeg(tmp_path, monkeypatch):
     vid_file.write_bytes(b"\x00" * 64)
     with pytest.raises(MediaProcessingError, match="ffmpeg not found"):
         merge_audio_video(str(vid_file), wav, str(tmp_path / "out2.mp4"))
+
+
+def test_read_video_frames_decodes_mjpeg_avi_natively(tmp_path):
+    """read_video_frames on an io/avi.py MJPEG AVI decodes in-process (this image has no
+    ffmpeg and no PyAV — reaching either fallback would error), including the nearest-frame
+    target_fps resample the other decode paths use."""
+    from foley_tpu.io.avi import mux_frames_audio_avi
+    from foley_tpu.pipeline.video import read_video_frames
+
+    n, h, w = 8, 24, 32
+    grid = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.stack([
+        np.stack([grid[0] / h, grid[1] / w, np.full((h, w), i / n, np.float32)], axis=-1)
+        for i in range(n)
+    ])
+    path = str(tmp_path / "clip.avi")
+    mux_frames_audio_avi(frames, 16.0, np.zeros(8000, np.float32), 16000, path)
+
+    got, fps = read_video_frames(path)
+    assert got.shape == (n, h, w, 3) and fps == 16.0
+    assert np.abs(got - frames).mean() < 0.04  # JPEG-lossy round trip
+
+    half, fps2 = read_video_frames(path, target_fps=8.0)
+    assert half.shape[0] == 4 and fps2 == 8.0
+    got3, _ = read_video_frames(path, max_frames=3)
+    assert got3.shape[0] == 3
+
+
+def test_cli_desync_score_avi_embedded_audio(tmp_path, monkeypatch, capsys):
+    """--desync_score on an MJPEG+PCM AVI scores the file's OWN audio track with zero
+    external tools (no --audio_input, no ffmpeg)."""
+    import foley_tpu.models.sync_scorer as scorer_mod
+    from foley_tpu.cli import main
+    from foley_tpu.io.avi import mux_frames_audio_avi
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(10, 24, 24, 3), dtype=np.uint8)
+    audio = np.sin(np.linspace(0, 300, 8000)).astype(np.float32) * 0.4
+    path = str(tmp_path / "clip.avi")
+    mux_frames_audio_avi(frames, 16.0, audio, 16000, path)
+
+    seen = {}
+
+    class FakeScorer:
+        def score(self, fr, waveform):
+            seen["frames"] = fr.shape
+            seen["samples"] = waveform.shape[0]
+            return np.asarray([-0.5])
+
+    monkeypatch.setattr(scorer_mod, "load_desync_scorer", lambda p: FakeScorer())
+    rc = main(["--desync_score", "--single_video", path])
+    assert rc == 0
+    assert "predicted AV offset: -0.50" in capsys.readouterr().out
+    assert seen["frames"][0] == 16  # 10 frames @16fps -> 25 fps resample
+    assert seen["samples"] == 8000  # embedded 16 kHz PCM used as-is
