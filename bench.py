@@ -61,22 +61,33 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
     return walls[len(walls) // 2], result
 
 
-def accelerator_reachable(timeout_s: int = 300) -> bool:
-    """Bounded device-init probe in a subprocess.
+def accelerator_reachable(timeout_s: int = 120, retry_budget_s: float = 1500.0) -> bool:
+    """Bounded device-init probe in a subprocess, retried across a grace window.
 
     The axon TPU service can go fully unavailable (observed 1.5+ h outages) in a mode where
     even ``jax.devices()`` blocks forever — probing in-process would hang the whole bench.
-    A generous timeout keeps healthy-but-slow first contact (a few seconds) from tripping."""
+    Transient outages shorter than ``retry_budget_s`` are waited out (probe every ~60 s)
+    so a round-end capture doesn't record 0.0 for a blip; a persistent outage still fails
+    with the error JSON below."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    deadline = time.monotonic() + retry_budget_s
+    while True:
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print(f"accelerator probe failed; retrying "
+              f"({int(deadline - time.monotonic())}s of grace left)", file=sys.stderr)
+        time.sleep(max(0.0, 60.0 - (time.monotonic() - t0)))
 
 
 def main():
@@ -85,7 +96,8 @@ def main():
         print(json.dumps({
             "metric": "audio_sec_per_sec_per_chip", "value": 0.0,
             "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
-            "error": "accelerator unreachable: device init did not return within 300s",
+            "error": "accelerator unreachable: device init kept timing out across a "
+                     "25-minute retry window (known axon service outage mode)",
         }))
         return 1
     for config_name in ("xxl", "xl", "tiny"):
