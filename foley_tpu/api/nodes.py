@@ -453,6 +453,26 @@ class HunyuanFoleySampler:
     @staticmethod
     def _generate(bundle, text_feat, uncond_text_feat, duration, clip_feat, sync_feat,
                   cfg_scale, steps, sampler, batch_size, seed):
+        cfg = bundle.pipeline_cfg
+        if duration > cfg.max_duration_s:
+            # beyond the reference's 60 s cap: windowed flow-match inpainting keeps memory
+            # bounded by the window length (pipeline/longform.py). T2A only; euler only.
+            if clip_feat is not None or sync_feat is not None:
+                raise ValueError(
+                    f"duration {duration}s exceeds {cfg.max_duration_s}s; the windowed "
+                    "long-form path is text-to-audio only (V2A features are not "
+                    "time-sliceable across windows)"
+                )
+            if sampler != "euler":
+                raise ValueError("long-form windowed generation supports the euler sampler only")
+            from foley_tpu.pipeline.longform import generate_audio_long
+
+            return generate_audio_long(
+                bundle, text_feat, uncond_text_feat, duration,
+                window_s=min(30.0, cfg.max_duration_s),
+                guidance_scale=cfg_scale, num_inference_steps=steps,
+                batch_size=batch_size, seed=seed,
+            )
         return generate_audio(
             bundle,
             text_feat,

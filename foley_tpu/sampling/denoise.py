@@ -51,7 +51,7 @@ class DenoiseFeatures(NamedTuple):
     static_argnames=(
         "cfg", "diffusion", "num_steps", "solver", "use_cfg", "attn_impl", "compute_dtype",
         "begin_index", "offload_fetch", "offload_prefetch", "progress",
-        "visual_rows_shared",
+        "visual_rows_shared", "known_frames",
     ),
 )
 def denoise_latents(
@@ -59,6 +59,7 @@ def denoise_latents(
     latents: jnp.ndarray,
     features: DenoiseFeatures,
     guidance_scale: jnp.ndarray,
+    known_latents: Optional[jnp.ndarray] = None,
     *,
     cfg: MMDiTConfig,
     diffusion: DiffusionConfig,
@@ -72,6 +73,7 @@ def denoise_latents(
     offload_prefetch: int = 1,
     progress: bool = False,
     visual_rows_shared: bool = False,
+    known_frames: int = 0,
 ) -> jnp.ndarray:
     """Run the full flow-matching ODE. latents: [B, T, C] (any float dtype) -> fp32 [B, T, C].
 
@@ -83,7 +85,18 @@ def denoise_latents(
     ``visual_rows_shared`` (static): promise that the CFG halves of the visual features are
     identical (T2A — cond visuals ARE the learned empty sequences); the forward then halves
     the visual-derived GEMMs (``mmdit.apply``). Only meaningful with ``use_cfg``.
+
+    ``known_frames``/``known_latents`` (flow-match inpainting, the windowed long-form
+    mechanism — ``pipeline/longform.py``): the first ``known_frames`` latent frames are
+    CLAMPED after every solver step to the training interpolant
+    ``(1-sigma)*known + sigma*noise0`` (``training/train.py:9-11`` convention; ``noise0`` is
+    this call's own initial noise for those frames), so at sigma=0 the prefix equals
+    ``known_latents`` exactly while the free suffix denoises conditioned on it through
+    attention. Euler only: multi-stage solvers carry a ``saved_sample`` whose interval-start
+    snapshot a mid-stage clamp would desynchronize.
     """
+    if known_frames and solver != "euler":
+        raise ValueError("known-prefix clamping (long-form windows) supports euler only")
     sigmas = get_sigmas(
         num_steps,
         shift=diffusion.sample_flow_shift,
@@ -112,6 +125,7 @@ def denoise_latents(
     triple_mods = mmdit.precompute_triple_mods(params, timesteps, cfg, compute_dtype)
 
     n_steps = int(timesteps.shape[0])
+    known_noise = latents[:, :known_frames].astype(jnp.float32) if known_frames else None
 
     def step_fn(carry, xs):
         t, step_i = xs[0], xs[1]
@@ -135,6 +149,12 @@ def denoise_latents(
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
             v = v_uncond + g * (v_cond - v_uncond)
         lat, state = solver_step(solver, state, v, lat, sigmas)
+        if known_frames:
+            # re-project the known prefix onto its interpolant at the sigma the sample now
+            # sits at (euler: step_index counts completed intervals)
+            sig = sigmas[state.step_index]
+            clamp = (1.0 - sig) * known_latents.astype(jnp.float32) + sig * known_noise
+            lat = jnp.concatenate([clamp, lat[:, known_frames:]], axis=1)
         return (lat, state), None
 
     state0 = solver_init(solver, latents.shape)

@@ -267,3 +267,110 @@ def test_fused_program_chunked_decode_matches_full(bundle):
     _, chunked = denoise_and_decode(bundle.mmdit_params, bundle.dac_params, lat, feats, g, None,
                                     decode_chunk_frames=48, **kw)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------------
+# Long-form windowed generation (pipeline/longform.py)
+# ---------------------------------------------------------------------------------
+
+def test_window_schedule():
+    from foley_tpu.pipeline.longform import window_schedule
+
+    # single window when it covers everything
+    assert window_schedule(100, 100, 25) == [(0, 0)]
+    assert window_schedule(80, 100, 25) == [(0, 0)]
+    # interior stride = win - ov; final window right-aligned (overlap grows)
+    assert window_schedule(150, 100, 25) == [(0, 0), (50, 50)]
+    assert window_schedule(500, 200, 50) == [(0, 0), (150, 50), (300, 50)]
+    # coverage is exact and contiguous
+    for total, win, ov in [(150, 100, 25), (500, 200, 50), (777, 150, 30)]:
+        sched = window_schedule(total, win, ov)
+        prev_end = 0
+        for start, known in sched:
+            assert start + known == min(prev_end, start + known)
+            assert start <= prev_end  # no gap
+            if prev_end:
+                assert known == prev_end - start >= ov
+            prev_end = start + win
+        assert prev_end == total
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        window_schedule(500, 100, 100)
+
+
+def test_known_prefix_clamp_is_exact(bundle):
+    """denoise_latents(known_frames=k): the clamped prefix equals known_latents EXACTLY at
+    the end of the schedule (sigma reaches 0.0), while the free suffix actually denoises."""
+    from foley_tpu.pipeline.features import prepare_cfg_features, t2a_features
+    from foley_tpu.sampling.denoise import denoise_latents, prepare_latents
+
+    text, uncond = _text()
+    clip_feat, sync_feat = t2a_features(bundle.mmdit_params, CFG, 1.0, batch_size=1)
+    features = prepare_cfg_features(
+        bundle.mmdit_params, text, uncond, clip_feat, sync_feat,
+        batch_size=1, use_cfg=True, text_bucket=16,
+    )
+    T, k = CFG.latent_length(1.0), 20
+    noise = prepare_latents(jax.random.PRNGKey(3), 1, T, CFG.model.audio_vae_latent_dim)
+    known = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, k, CFG.model.audio_vae_latent_dim))
+        .astype(np.float32))
+
+    out = denoise_latents(
+        bundle.mmdit_params, noise, features, jnp.float32(4.5), known,
+        cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver="euler",
+        use_cfg=True, compute_dtype=jnp.float32, known_frames=k,
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:, :k], np.asarray(known))
+    # the clamp touches ONLY the prefix: at random init the zero-init final layer gives
+    # v=0 (latents don't move), so the free suffix must still equal its initial noise
+    np.testing.assert_array_equal(np.asarray(out)[:, k:], np.asarray(noise)[:, k:])
+
+    with pytest.raises(ValueError, match="euler only"):
+        denoise_latents(
+            bundle.mmdit_params, noise, features, jnp.float32(4.5), known,
+            cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver="heun-2",
+            use_cfg=True, compute_dtype=jnp.float32, known_frames=k,
+        )
+
+
+def test_generate_audio_long_end_to_end(bundle):
+    """3 s in 2 s windows with 0.5 s overlap: right length, finite, deterministic, and the
+    stitched latents cover the full duration."""
+    from foley_tpu.pipeline.longform import generate_audio_long
+
+    text, uncond = _text()
+    kwargs = dict(
+        window_s=2.0, overlap_s=0.5, guidance_scale=4.5, num_inference_steps=4,
+        batch_size=1, seed=11, text_bucket=16, return_latents=True,
+    )
+    res = generate_audio_long(bundle, text, uncond, 3.0, **kwargs)
+    sr = CFG.dac.sample_rate
+    assert res.audio_first.shape == (1, 1, 3 * sr)
+    assert np.all(np.isfinite(res.audio_first))
+    assert res.latents.shape == (1, CFG.latent_length(3.0), CFG.model.audio_vae_latent_dim)
+    assert res.timings["windows"] == 2.0
+
+    res2 = generate_audio_long(bundle, text, uncond, 3.0, **kwargs)
+    np.testing.assert_array_equal(res.audio_first, res2.audio_first)
+
+    # single-window degenerate case (duration fits in one window)
+    res3 = generate_audio_long(bundle, text, uncond, 1.0, **kwargs)
+    assert res3.audio_first.shape == (1, 1, sr) and res3.timings["windows"] == 1.0
+
+
+def test_sampler_node_long_form_guards(bundle):
+    """The sampler node routes >max-duration requests to the windowed path and rejects the
+    combinations it can't honor (V2A features, non-euler) with actionable errors."""
+    from foley_tpu.api.nodes import HunyuanFoleySampler
+
+    text, uncond = _text()
+    fake_clip = jnp.zeros((1, 8, CFG.model.clip_dim), jnp.float32)
+    fake_sync = jnp.zeros((1, 8, CFG.model.sync_feat_dim), jnp.float32)
+    with pytest.raises(ValueError, match="text-to-audio only"):
+        HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
+                                      fake_clip, fake_sync, 4.5, 4, "euler", 1, 0)
+    with pytest.raises(ValueError, match="euler"):
+        HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
+                                      None, None, 4.5, 4, "heun-2", 1, 0)
