@@ -77,7 +77,7 @@ def generate_audio_long(
     duration_s: float,
     *,
     window_s: float = 30.0,
-    overlap_s: float = 5.0,
+    overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
     batch_size: int = 1,
@@ -95,6 +95,8 @@ def generate_audio_long(
     requirement — and the reference's own recommendation, ``nodes.py:227``)."""
     cfg = bundle.pipeline_cfg
     t0 = time.perf_counter()
+    if overlap_s is None:
+        overlap_s = min(5.0, window_s / 4.0)  # small windows keep a proportional overlap
 
     total_frames = cfg.latent_length(duration_s)
     win_frames = cfg.latent_length(window_s)

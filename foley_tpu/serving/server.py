@@ -236,7 +236,17 @@ class FoleyService:
         prompt = request.get("prompt", "")
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))
-        bucket_duration = self._snap_duration(duration)
+        # beyond the largest warmed bucket: windowed long-form (T2A only) instead of the
+        # old silent snap-down — the window is the largest warmed duration
+        long_form = duration > self.durations[-1]
+        if long_form and ("frames_b64" in request or "frames_path" in request):
+            raise ValueError(
+                f"duration {duration}s exceeds the largest warmed bucket "
+                f"({self.durations[-1]}s); the windowed long-form path is T2A only"
+            )
+        if long_form and request.get("sampler", "euler") != "euler":
+            raise ValueError("long-form generation supports the euler sampler only")
+        bucket_duration = duration if long_form else self._snap_duration(duration)
         steps = int(request.get("steps", self.default_steps))
         batch = int(request.get("batch_size", 1))
         want_mux = bool(request.get("mux_video", False))
@@ -254,17 +264,30 @@ class FoleyService:
                 (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
             )
         with self._lock, self._mesh_ctx():
-            result = generate_audio(
-                self.bundle, text, uncond, bucket_duration,
-                clip_feat=clip_feat,
-                sync_feat=sync_feat,
-                guidance_scale=float(request.get("cfg_scale", 4.5)),
-                num_inference_steps=steps,
-                sampler=request.get("sampler", "euler"),
-                batch_size=batch,
-                seed=int(request.get("seed", 0)),
-                text_bucket=self.text_buckets[0],
-            )
+            if long_form:
+                from foley_tpu.pipeline.longform import generate_audio_long
+
+                result = generate_audio_long(
+                    self.bundle, text, uncond, duration,
+                    window_s=float(self.durations[-1]),
+                    guidance_scale=float(request.get("cfg_scale", 4.5)),
+                    num_inference_steps=steps,
+                    batch_size=batch,
+                    seed=int(request.get("seed", 0)),
+                    text_bucket=self.text_buckets[0],
+                )
+            else:
+                result = generate_audio(
+                    self.bundle, text, uncond, bucket_duration,
+                    clip_feat=clip_feat,
+                    sync_feat=sync_feat,
+                    guidance_scale=float(request.get("cfg_scale", 4.5)),
+                    num_inference_steps=steps,
+                    sampler=request.get("sampler", "euler"),
+                    batch_size=batch,
+                    seed=int(request.get("seed", 0)),
+                    text_bucket=self.text_buckets[0],
+                )
         n = int(duration * result.sample_rate)
         out = {
             "waveform": np.asarray(result.audio_first)[0, :, :n],  # [C, T] trimmed to request
@@ -324,9 +347,11 @@ class BatchingFoleyService(FoleyService):
             self.error = None
 
     def generate(self, request: Dict) -> Dict:
-        if "frames_b64" in request or "frames_path" in request:
-            # V2A rows carry per-request visual features generate_audio_multi doesn't batch;
-            # serve them directly (lock-serialized with the dispatcher's device work).
+        if ("frames_b64" in request or "frames_path" in request
+                or float(request.get("duration", 5.0)) > self.durations[-1]):
+            # V2A rows carry per-request visual features generate_audio_multi doesn't
+            # batch, and over-bucket durations take the windowed long-form path; serve
+            # both directly (lock-serialized with the dispatcher's device work).
             return FoleyService.generate(self, request)
         pending = self._Pending(request)
         with self._queue_lock:

@@ -279,6 +279,20 @@ def test_v2a_mux_video_response(service):
     assert "video_avi" not in out2
 
 
+def test_long_form_request_over_bucket(service):
+    """A request beyond the largest warmed bucket takes the windowed long-form path (T2A)
+    instead of silently snapping down; V2A + over-bucket errors actionably."""
+    out = service.generate({"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3})
+    assert out["waveform"].shape == (1, int(2.5 * 48000))
+    assert np.all(np.isfinite(np.asarray(out["waveform"])))
+    with pytest.raises(ValueError, match="T2A only"):
+        service.generate({"prompt": "wind", "duration": 2.5, "steps": 2,
+                          "frames_b64": _frames_b64()})
+    with pytest.raises(ValueError, match="euler"):
+        service.generate({"prompt": "wind", "duration": 2.5, "steps": 2,
+                          "sampler": "heun-2"})
+
+
 def test_v2a_request_frames_path(service, tmp_path):
     from PIL import Image
 
