@@ -51,7 +51,7 @@ class HunyuanModelLoader:
             "required": {
                 "model_name": ("STRING", {"default": "hunyuanvideo_foley.safetensors"}),
                 "precision": (["auto", "bf16", "fp16", "fp32"], {"default": "auto"}),
-                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"], {"default": "none"}),
+                "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic", "int4"], {"default": "none"}),
             },
             "optional": {"config": (["xxl", "xl", "tiny"], {"default": "xxl"})},
         }
@@ -93,6 +93,12 @@ class HunyuanModelLoader:
                 # (per-token activation quant) — an opt-in throughput mode beyond the
                 # reference's storage-only quantization.
                 params, counts, saved = quantize_int8(params, dynamic=qmode == "int8_dynamic")
+            elif qmode == "int4":
+                from foley_tpu.io.quantize import quantize_int4
+
+                # 4-bit group-wise storage: quarter of the bf16 weight bytes (the measured
+                # batch-1 step-time bound); dequant-at-use like int8.
+                params, counts, saved = quantize_int4(params)
             else:
                 params, counts, saved = quantize_fp8(params, qmode)
             logger.info(

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
     p.add_argument("--quantization", type=str, default="none",
-                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"])
+                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic", "int4"])
     p.add_argument("--output", type=str, default="output.wav")
     p.add_argument("--merge_video", action="store_true",
                    help="Mux generated audio onto --single_video with ffmpeg")

@@ -100,6 +100,60 @@ def quantize_int8(
     return unflatten_params(out), counts, saved
 
 
+def quantize_int4(
+    params: Dict,
+    deny_substrings: Tuple[str, ...] = FP8_DENY_SUBSTRINGS,
+    group_size: int = 128,
+    consume: bool = False,
+) -> Tuple[Dict, Dict[str, int], int]:
+    """int4 weight-only quantization with group-wise (input-axis) x per-channel scales.
+
+    Beyond the reference's fp8 mode: 4-bit symmetric weights (q in [-7, 7], XLA packs two
+    per byte on TPU) with a separate fp32 scale per ``group_size`` input channels per output
+    channel — the group-wise scales recover most of the fidelity plain per-channel int4
+    loses. A quantized 'w' leaf becomes ``{"int4": q, "scale": [..., n_groups, 1, out]}``;
+    ``ops/nn.py::_match`` dequantizes at use (reshape-multiply XLA fuses into the consuming
+    matmul). Weights whose input axis is not divisible by ``group_size`` use ONE group
+    (plain per-channel). Quarters weight HBM traffic vs bf16 — the measured bf16 batch-1
+    bound (ROADMAP post-hoist profile). Opt-in storage mode; same deny-list as fp8.
+
+    Quantization math always runs host-side in numpy (the device-side fp32 temporaries of
+    the big stacked leaves OOM a resident XXL, as measured for int8);
+    ``consume``: as in ``quantize_int8`` (destructive source, peak stays ~1x).
+    """
+    import numpy as np
+
+    flat = flatten_params(params)
+    if consume:
+        params.clear()
+    out, counts, saved = {}, {"quantized": 0, "skipped": 0}, 0
+    for path in list(flat):
+        leaf = flat[path]
+        is_weight = path.endswith(".w") or path.endswith(".weight")
+        denied = any(s in path for s in deny_substrings) or not is_weight
+        if denied or not jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.ndim < 2:
+            out[path] = leaf
+            counts["skipped"] += 1
+            continue
+        cin = leaf.shape[-2]
+        g = group_size if cin % group_size == 0 else cin
+        n_groups = cin // g
+        grouped_shape = leaf.shape[:-2] + (n_groups, g, leaf.shape[-1])
+        w32 = np.asarray(leaf, dtype=np.float32).reshape(grouped_shape)
+        if consume:
+            flat[path] = None
+        scale = np.maximum(np.max(np.abs(w32), axis=-2, keepdims=True) / 7.0, 1e-12)
+        q = np.clip(np.round(w32 / scale), -7, 7).reshape(leaf.shape)
+        q4 = jnp.asarray(q.astype(np.int8)).astype(jnp.int4)
+        scale_j = jnp.asarray(scale.astype(np.float32))
+        saved += int(leaf.size) * leaf.dtype.itemsize - (int(leaf.size) + 1) // 2 \
+            - int(scale_j.size) * 4
+        out[path + ".int4"] = q4
+        out[path + ".scale"] = scale_j
+        counts["quantized"] += 1
+    return unflatten_params(out), counts, saved
+
+
 def quantize_fp8(
     params: Dict,
     quantization: str = "fp8_e4m3fn",

@@ -35,6 +35,12 @@ def _match(w, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(w, dict) and ("int8" in w or "int8_dyn" in w):
         q = w.get("int8", w.get("int8_dyn"))
         return q.astype(x.dtype) * w["scale"].astype(x.dtype)
+    if isinstance(w, dict) and "int4" in w:
+        # group-wise scales (quantize_int4): q [..., in, out], scale [..., n_groups, 1, out]
+        q, scale = w["int4"], w["scale"]
+        grouped = q.shape[:-2] + (scale.shape[-3], q.shape[-2] // scale.shape[-3], q.shape[-1])
+        deq = q.astype(x.dtype).reshape(grouped) * scale.astype(x.dtype)
+        return deq.reshape(q.shape)
     return w if w.dtype == x.dtype else w.astype(x.dtype)
 
 

@@ -358,3 +358,52 @@ def test_int8_end_to_end_generation():
     res = generate_audio(bundle, text, text, 1.0, num_inference_steps=2, batch_size=1, seed=0)
     assert res.audio_batch.shape == (1, 1, 48000)
     assert np.isfinite(res.audio_batch).all()
+
+
+def test_int4_quantize_policy_and_fidelity():
+    """int4 group-wise quantization: packed int4 storage, group-structured scales,
+    deny-list honored, dequant-at-use matmul error bounded, and a quantized tiny forward
+    runs finite end-to-end."""
+    from foley_tpu.io.quantize import quantize_int4
+    from foley_tpu.ops.nn import dense
+
+    params = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q, counts, saved = quantize_int4(params, group_size=16)
+    assert counts["quantized"] > 0 and saved > 0
+    leaf = q["triple_blocks"]["audio_self_attn_qkv"]["w"]
+    assert isinstance(leaf, dict) and leaf["int4"].dtype == jnp.int4
+    d, i, o = params["triple_blocks"]["audio_self_attn_qkv"]["w"].shape
+    groups = i // 16 if i % 16 == 0 else 1
+    assert leaf["scale"].shape == (d, groups, 1, o)
+    assert not isinstance(q["final_layer"]["linear"]["w"], dict)  # deny-list
+
+    # dequant matmul error: group-wise int4 stays within a few percent
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, i)).astype(np.float32))
+    w = params["triple_blocks"]["audio_self_attn_qkv"]["w"][0]
+    ref = dense(x, w)
+    got = dense(x, {"int4": leaf["int4"][0], "scale": leaf["scale"][0]})
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.08, rel
+    # and it is strictly the round-to-scale dequant (exact vs a numpy dequant)
+    deq = (np.asarray(leaf["int4"][0]).astype(np.float32)
+           .reshape(groups, i // groups, o) * np.asarray(leaf["scale"][0])).reshape(i, o)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense(x, jnp.asarray(deq))),
+                               rtol=1e-5, atol=1e-5)
+
+    # consume clears the source tree; counts identical
+    victim = mmdit.init(jax.random.PRNGKey(0), CFG)
+    q2, counts2, saved2 = quantize_int4(victim, group_size=16, consume=True)
+    assert victim == {} and (counts2, saved2) == (counts, saved)
+
+    rng = np.random.default_rng(2)
+    out = mmdit.apply(
+        q,
+        jnp.asarray(rng.normal(size=(1, 20, CFG.audio_vae_latent_dim)).astype(np.float32)),
+        jnp.asarray([400.0], jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.condition_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 4, CFG.clip_dim)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, 8, CFG.sync_feat_dim)).astype(np.float32)),
+        CFG,
+    )
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ("bf16", "fp8_e4m3fn", "int8", "int8_dynamic")
+MODES = ("bf16", "fp8_e4m3fn", "int8", "int8_dynamic", "int4")
 REF_LATENTS = "/tmp/foley_quant_bf16_latents.npy"
 
 
@@ -53,6 +53,11 @@ def run_mode(mode: str) -> int:
         params = base
     elif mode == "fp8_e4m3fn":
         params, _, _ = quantize_fp8(base, "fp8_e4m3fn")
+        del base
+    elif mode == "int4":
+        from foley_tpu.io.quantize import quantize_int4
+
+        params, _, _ = quantize_int4(base, consume=True)
         del base
     else:
         # host-side + consuming: the bf16 model and its int8 copy never coexist in HBM

@@ -30,7 +30,7 @@ for i in 1 2 3; do
 done
 
 echo "== stage 3: quant sweep (one subprocess per mode) =="
-for mode in bf16 fp8_e4m3fn int8 int8_dynamic; do
+for mode in bf16 fp8_e4m3fn int8 int8_dynamic int4; do
     timeout 2400 python tools/profile_quant.py "$mode" 2>"$OUT/quant_$mode.err" \
         | tee "$OUT/quant_$mode.json"
 done
