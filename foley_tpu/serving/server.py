@@ -491,7 +491,7 @@ button{margin-top:1em;padding:.6em 1.4em}#status{margin-top:1em;color:#555}</sty
 <body><h2>foley-tpu &mdash; text &rarr; Foley audio</h2>
 <label>Prompt</label><input id="prompt" value="rain on a tin roof">
 <label>Negative prompt</label><input id="neg" value="noisy, harsh">
-<label>Duration (s)</label><input id="dur" type="number" value="5" min="1" max="60">
+<label>Duration (s)</label><input id="dur" type="number" value="5" min="1" max="600">
 <label>Steps</label><input id="steps" type="number" value="50" min="10" max="100">
 <label>CFG scale</label><input id="cfg" type="number" value="4.5" step="0.5" min="1" max="10">
 <label>Seed</label><input id="seed" type="number" value="0">
@@ -586,7 +586,8 @@ def main(argv=None) -> int:
     p.add_argument("--random_init", default=None)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--quantization", default="none",
-                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic"],
+                   choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic",
+                            "int4"],
                    help="weight quantization for the checkpoint load (same modes as the "
                         "HunyuanModelLoader node)")
     p.add_argument("--config", default="xxl", choices=["xxl", "xl", "tiny"])
