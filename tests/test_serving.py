@@ -388,6 +388,14 @@ def test_sharded_serving_over_virtual_mesh(service):
     np.testing.assert_allclose(np.asarray(got["waveform"]), np.asarray(ref["waveform"]),
                                atol=1e-5, rtol=1e-5)
 
+    # the windowed long-form path also runs under the mesh and matches single-chip
+    long_req = {"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3}
+    got_l = sharded.generate(long_req)
+    ref_l = service.generate(long_req)
+    assert got_l["waveform"].shape == ref_l["waveform"].shape == (1, int(2.5 * 48000))
+    np.testing.assert_allclose(np.asarray(got_l["waveform"]), np.asarray(ref_l["waveform"]),
+                               atol=1e-5, rtol=1e-5)
+
 
 def test_cli_gradio_flag(monkeypatch):
     """--gradio hands off to the serving stack with mapped args (reference cli.py:88-96)."""
