@@ -81,6 +81,13 @@ def accelerator_reachable(timeout_s: int = 120, retry_budget_s: float = 1500.0) 
             )
             if r.returncode == 0:
                 return True
+            err = (r.stderr or b"").decode(errors="replace")
+            if "UNAVAILABLE" not in err and "backend" not in err:
+                # not the outage signature (hang, or UNAVAILABLE backend-init error) —
+                # a broken env fails fast instead of burning the whole grace window
+                print(f"accelerator probe failed hard (not an outage): {err[-500:]}",
+                      file=sys.stderr)
+                return False
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() >= deadline:

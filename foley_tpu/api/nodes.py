@@ -303,7 +303,9 @@ class HunyuanFoleySampler:
                 "foley_model": ("FOLEY_MODEL",),
                 "dependencies": ("FOLEY_DEPS",),
                 "frame_rate": ("INT", {"default": 16, "min": 1, "max": 120}),
-                "duration": ("FLOAT", {"default": 5.0, "min": 1.0, "max": 60.0}),
+                # reference widget caps at 60 (nodes.py:219); ours allows long-form T2A,
+                # routed through the windowed inpainting path past cfg.max_duration_s
+                "duration": ("FLOAT", {"default": 5.0, "min": 1.0, "max": 600.0}),
                 "prompt": ("STRING", {"default": ""}),
                 "negative_prompt": ("STRING", {"default": "noisy, harsh"}),
                 "cfg_scale": ("FLOAT", {"default": 4.5, "min": 1.0, "max": 10.0}),

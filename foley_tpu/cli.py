@@ -211,7 +211,8 @@ def main(argv=None) -> int:
 
             out_video = os.path.splitext(args.output)[0] + ".mp4"
             # frames-dir inputs mux to .avi without ffmpeg; the callee returns the real path
-            out_video = merge_audio_video(args.single_video, args.output, out_video)
+            out_video = merge_audio_video(args.single_video, args.output, out_video,
+                                          frames_fps=args.frames_fps)
             logger.info(f"muxed {out_video}")
         return 0
     except ImportError as e:

@@ -111,6 +111,7 @@ def merge_audio_video(
     output_path: str,
     quality: str = "high",
     ffmpeg_bin: Optional[str] = None,
+    frames_fps: float = 16.0,
 ) -> str:
     """Mux audio onto video with ffmpeg: copy video stream, AAC stereo from mono
     (reference ``media_utils.py:16-101``).
@@ -122,7 +123,10 @@ def merge_audio_video(
     if os.path.isdir(video_path):
         from foley_tpu.io.avi import merge_frames_dir_audio
 
-        return merge_frames_dir_audio(video_path, audio_path, output_path, quality=quality)
+        # frames_fps must match the rate the frames were CONDITIONED at (CLI --frames_fps),
+        # or the muxed video plays at the wrong speed against its audio
+        return merge_frames_dir_audio(video_path, audio_path, output_path,
+                                      fps=frames_fps, quality=quality)
     ffmpeg = ffmpeg_bin or shutil.which("ffmpeg")
     if ffmpeg is None:
         raise MediaProcessingError(

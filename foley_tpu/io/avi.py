@@ -51,10 +51,13 @@ def _audio_to_stereo_i16(audio: np.ndarray) -> np.ndarray:
     """Mono float [-1,1] (or int16) -> interleaved stereo int16, both channels the mono
     signal (the reference's pan=stereo|c0=c0|c1=c0)."""
     audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        # normalize BEFORE any channel mix: mean() of int16 would produce full-range
+        # floats the [-1,1] clip below turns into a square wave
+        audio = audio.astype(np.float32) / 32767.0
     if audio.ndim == 2:  # [C, T] -> mono mix like read_wav
         audio = audio.mean(axis=0)
-    if audio.dtype != np.int16:
-        audio = np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+    audio = np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
     return np.repeat(audio[:, None], 2, axis=1).reshape(-1)  # interleaved LRLR...
 
 
@@ -199,7 +202,8 @@ def read_avi_info(path: str) -> dict:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError(f"not an AVI file: {path}")
 
-    info: dict = {"jpegs": [], "pcm": b"", "index_entries": 0}
+    info: dict = {"jpegs": [], "index_entries": 0}
+    pcm_chunks: list = []  # joined once at the end (bytes += is quadratic over many chunks)
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -225,12 +229,16 @@ def read_avi_info(path: str) -> dict:
             elif fourcc == b"00dc":
                 info["jpegs"].append(payload)
             elif fourcc == b"01wb":
-                info["pcm"] += payload
+                pcm_chunks.append(payload)
             elif fourcc == b"idx1":
                 info["index_entries"] = size // 16
             pos += 8 + size + (size % 2)
 
-    walk(data, 12, len(data))
+    try:
+        walk(data, 12, len(data))
+    except Exception as e:  # truncated headers etc. -> the callers' ValueError fall-through
+        raise ValueError(f"malformed AVI {path}: {type(e).__name__}: {e}") from e
+    info["pcm"] = b"".join(pcm_chunks)
     return info
 
 
@@ -259,10 +267,13 @@ def read_avi(path: str):
         raise ValueError(f"AVI video codec {comp!r} is not MJPEG; use ffmpeg/PyAV for {path}")
     if not info["jpegs"]:
         raise ValueError(f"no video frames in {path}")
-    frames = np.stack([
-        np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"), np.uint8)
-        for jb in info["jpegs"]
-    ]).astype(np.float32) / 255.0
+    try:
+        frames = np.stack([
+            np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"), np.uint8)
+            for jb in info["jpegs"]
+        ]).astype(np.float32) / 255.0
+    except Exception as e:  # corrupt JPEG payloads / ragged frame sizes -> ValueError
+        raise ValueError(f"undecodable MJPEG frames in {path}: {e}") from e
 
     audio = sr = None
     if info["pcm"] and info.get("audio_format") == 1 and info.get("bits") == 16:

@@ -86,6 +86,7 @@ def generate_audio_long(
     text_bucket: Optional[int] = None,
     return_latents: bool = False,
     fetch_pcm16: bool = True,
+    snap_to_window_grid: bool = False,
 ) -> GenerationResult:
     """Generate ``duration_s`` seconds of audio (any length) in ``window_s`` windows.
 
@@ -101,6 +102,13 @@ def generate_audio_long(
     total_frames = cfg.latent_length(duration_s)
     win_frames = cfg.latent_length(window_s)
     ov_frames = cfg.latent_length(overlap_s)
+    if snap_to_window_grid and total_frames > win_frames:
+        # Production-serving mode: generate on the window-stride grid (slightly more than
+        # requested, trimmed to duration below) so every window clamps exactly ov_frames
+        # and the decode length quantizes — arbitrary durations reuse a BOUNDED set of
+        # compiled programs instead of compiling a fresh final-window/decode shape each.
+        step = win_frames - ov_frames
+        total_frames = win_frames + -(-(total_frames - win_frames) // step) * step
     sched = window_schedule(total_frames, win_frames, ov_frames)
     if len(sched) == 1:
         win_frames = total_frames  # single window: exactly generate_audio's geometry
@@ -164,11 +172,12 @@ def generate_audio_long(
     if fetch_pcm16:
         audio_np = audio_np.astype(np.float32) / 32767.0
     audio_np = audio_np[:, None, :]
+    requested_frames = cfg.latent_length(duration_s)  # grid snapping may have padded
     return GenerationResult(
         audio_first=audio_np[:1],
         audio_batch=audio_np,
         sample_rate=cfg.dac.sample_rate,
-        latents=np.asarray(final_latents) if return_latents else None,
+        latents=np.asarray(final_latents)[:, :requested_frames] if return_latents else None,
         timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
                  "windows": float(len(sched))},
     )

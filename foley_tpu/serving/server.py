@@ -275,6 +275,9 @@ class FoleyService:
                     batch_size=batch,
                     seed=int(request.get("seed", 0)),
                     text_bucket=self.text_buckets[0],
+                    # arbitrary durations must reuse a bounded program set in production
+                    # (compiles hold the generation lock) — snap to the window-stride grid
+                    snap_to_window_grid=True,
                 )
             else:
                 result = generate_audio(
@@ -562,7 +565,12 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
                     if "video_avi" in out:
                         payload["video_base64"] = base64.b64encode(out["video_avi"]).decode()
                     body = json.dumps(payload).encode()
-                elif mode == "avi" and "video_avi" in out:
+                elif mode == "avi":
+                    if "video_avi" not in out:
+                        raise ValueError(
+                            'response="avi" requires a V2A request with "mux_video": true '
+                            "(no video was produced to return)"
+                        )
                     body, ctype = out["video_avi"], "video/x-msvideo"
                 else:
                     body, ctype = wav, "audio/wav"

@@ -374,3 +374,27 @@ def test_sampler_node_long_form_guards(bundle):
     with pytest.raises(ValueError, match="euler"):
         HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
                                       None, None, 4.5, 4, "heun-2", 1, 0)
+
+
+def test_generate_audio_long_grid_snap(bundle):
+    """snap_to_window_grid pads the generated sequence onto the window-stride grid so
+    arbitrary durations reuse a bounded program set; output audio/latents still match the
+    REQUESTED duration."""
+    from foley_tpu.pipeline.longform import generate_audio_long, window_schedule
+
+    text, uncond = _text()
+    res = generate_audio_long(
+        bundle, text, uncond, 2.7, window_s=2.0, overlap_s=0.5,
+        guidance_scale=4.5, num_inference_steps=2, seed=5, text_bucket=16,
+        return_latents=True, snap_to_window_grid=True,
+    )
+    sr = CFG.dac.sample_rate
+    assert res.audio_first.shape == (1, 1, int(2.7 * sr))
+    assert res.latents.shape[1] == CFG.latent_length(2.7)
+    # on the grid every non-first window clamps exactly ov frames (one program variant)
+    win, ov = CFG.latent_length(2.0), CFG.latent_length(0.5)
+    step = win - ov
+    total = CFG.latent_length(2.7)
+    padded = win + -(-(total - win) // step) * step
+    sched = window_schedule(padded, win, ov)
+    assert all(known in (0, ov) for _, known in sched)

@@ -338,3 +338,38 @@ def test_cli_desync_score_avi_embedded_audio(tmp_path, monkeypatch, capsys):
     assert "predicted AV offset: -0.50" in capsys.readouterr().out
     assert seen["frames"][0] == 16  # 10 frames @16fps -> 25 fps resample
     assert seen["samples"] == 8000  # embedded 16 kHz PCM used as-is
+
+
+def test_avi_mux_fixes(tmp_path, monkeypatch):
+    """Regression pack: (1) merge_audio_video forwards frames_fps into the AVI header;
+    (2) int16 [C, T] audio is normalized before the stereo mix (not clipped to a square
+    wave); (3) a malformed RIFF/AVI falls through read_video_frames' AVI branch as
+    ValueError -> the actionable no-decoder error, not a struct.error crash."""
+    import shutil as _shutil
+
+    from foley_tpu.io.audio import merge_audio_video, write_wav
+    from foley_tpu.io.avi import build_avi_bytes, read_avi_info
+    from foley_tpu.pipeline.video import read_video_frames
+
+    # (1) fps plumb
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    d = str(tmp_path / "frames")
+    _write_frames(d, n=6, h=16, w=16)
+    wav = str(tmp_path / "a.wav")
+    write_wav(wav, 0.1 * np.ones(4000, np.float32), 8000)
+    out = merge_audio_video(d, wav, str(tmp_path / "o.mp4"), frames_fps=24.0)
+    assert abs(read_avi_info(out)["fps"] - 24.0) < 1e-6
+
+    # (2) int16 [C, T] input survives the stereo conversion
+    pcm_in = (np.linspace(-0.5, 0.5, 1000) * 32767).astype(np.int16)[None]  # [1, T]
+    data = build_avi_bytes(np.zeros((2, 8, 8, 3), np.uint8), 8.0, pcm_in, 8000)
+    f = tmp_path / "i16.avi"
+    f.write_bytes(data)
+    got = np.frombuffer(read_avi_info(str(f))["pcm"], "<i2").reshape(-1, 2)[:, 0]
+    np.testing.assert_array_equal(got, pcm_in[0])
+
+    # (3) malformed AVI (valid magic, truncated headers) -> clean fall-through error
+    bad = tmp_path / "bad.avi"
+    bad.write_bytes(b"RIFF" + b"\x28\x00\x00\x00" + b"AVI " + b"avih" + b"\x04\x00\x00\x00" + b"\x00" * 4)
+    with pytest.raises(RuntimeError, match="no video decoder"):
+        read_video_frames(str(bad))
