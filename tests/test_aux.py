@@ -313,3 +313,42 @@ def test_partition_report_bytes():
     assert rep2["host_mb"] > 0
     np.testing.assert_allclose(rep2["host_mb"] + rep2["device_mb"],
                                rep["device_mb"], rtol=1e-6)
+
+
+def test_bench_probe_outage_vs_hard_failure(monkeypatch):
+    """bench.accelerator_reachable rides out the axon outage signature (probe hang /
+    UNAVAILABLE backend-init) but fails FAST on a hard env failure (broken jax import)."""
+    import subprocess
+    import sys
+    import time as time_mod
+
+    sys.path.insert(0, ".")
+    import bench
+
+    calls = {"n": 0}
+
+    class R:
+        def __init__(self, rc, err):
+            self.returncode, self.stderr = rc, err
+
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+
+    def hard_fail(*a, **k):
+        calls["n"] += 1
+        return R(1, b"ImportError: No module named jax")
+
+    monkeypatch.setattr(subprocess, "run", hard_fail)
+    assert bench.accelerator_reachable(timeout_s=1, retry_budget_s=300) is False
+    assert calls["n"] == 1  # no retries burned on a non-outage failure
+
+    calls["n"] = 0
+
+    def outage(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            return R(0, b"")
+        return R(1, b"Unable to initialize backend 'axon': UNAVAILABLE: ...")
+
+    monkeypatch.setattr(subprocess, "run", outage)
+    assert bench.accelerator_reachable(timeout_s=1, retry_budget_s=300) is True
+    assert calls["n"] == 3  # retried through the outage, succeeded when service returned
