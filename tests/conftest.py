@@ -21,6 +21,36 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _ensure_map_count_headroom(minimum: int = 262144) -> None:
+    """Raise vm.max_map_count when it is at the 65530 default and we can (root).
+
+    The full suite JIT-compiles hundreds of XLA:CPU executables in ONE process; memory
+    mappings grow past 65k before the alphabetical tail, and a failed mmap inside LLVM's
+    JIT is a hard SIGSEGV, not an exception (observed three times at
+    test_training_data's train-step compile — the last big compile of the run)."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            current = int(f.read())
+        if current >= minimum:
+            return
+        with open(path, "w") as f:
+            f.write(str(minimum))
+    except (OSError, PermissionError):
+        import warnings
+
+        warnings.warn(
+            f"vm.max_map_count is {current} and could not be raised (need root); the full "
+            f"suite may exhaust memory mappings and SIGSEGV late in the run — run "
+            f"`sysctl -w vm.max_map_count={minimum}` or split the suite into several "
+            f"pytest processes",
+            stacklevel=1,
+        )
+
+
+_ensure_map_count_headroom()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -368,7 +368,21 @@ def test_avi_mux_fixes(tmp_path, monkeypatch):
     got = np.frombuffer(read_avi_info(str(f))["pcm"], "<i2").reshape(-1, 2)[:, 0]
     np.testing.assert_array_equal(got, pcm_in[0])
 
-    # (3) malformed AVI (valid magic, truncated headers) -> clean fall-through error
+    # (3) malformed AVI (valid magic, truncated headers) -> clean fall-through error.
+    # The oracle tests install an import-only "av" stub in sys.modules; block it so the
+    # fall-through lands on the no-decoder error rather than the stub's missing .open
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "av", raising=False)
+    real_import = builtins.__import__
+
+    def no_av(name, *a, **k):
+        if name == "av":
+            raise ImportError("no av")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_av)
     bad = tmp_path / "bad.avi"
     bad.write_bytes(b"RIFF" + b"\x28\x00\x00\x00" + b"AVI " + b"avih" + b"\x04\x00\x00\x00" + b"\x00" * 4)
     with pytest.raises(RuntimeError, match="no video decoder"):
