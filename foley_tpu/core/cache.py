@@ -8,9 +8,31 @@ denoise program compiles once per machine, not once per restart.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _enabled = False
+
+
+def _machine_tag() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT executables embed the COMPILE machine's features; loading one on a host
+    with different features is only warned about ("could lead to execution errors such as
+    SIGILL") and has produced real segfaults here when a cache directory outlived a VM
+    migration (cpu_aot_loader feature-mismatch warnings, then SIGSEGV inside
+    backend_compile_and_load). Namespacing the cache dir by the feature set makes a
+    migrated host start a fresh CPU cache instead of loading the old machine's code."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split(":", 1)[1].split())).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
@@ -18,8 +40,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     global _enabled
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "FOLEY_TPU_CACHE_DIR", os.path.expanduser("~/.cache/foley_tpu/xla")
+    cache_dir = cache_dir or os.path.join(
+        os.environ.get("FOLEY_TPU_CACHE_DIR", os.path.expanduser("~/.cache/foley_tpu/xla")),
+        _machine_tag(),
     )
     if not _enabled:
         os.makedirs(cache_dir, exist_ok=True)
