@@ -407,8 +407,17 @@ class HunyuanFoleySampler:
             )
             clip_feat = sync_feat = None
             if image is not None:
+                encode_duration = duration
+                if duration > cfg.max_duration_s:
+                    # long-form V2A: windows slice the FULL video's features, so encode at
+                    # the plan's snapped duration (pipeline/longform.py module doc)
+                    from foley_tpu.pipeline.longform import plan_v2a_long
+
+                    encode_duration, _, _ = plan_v2a_long(
+                        cfg, duration, window_s=min(30.0, cfg.max_duration_s)
+                    )
                 clip_feat, sync_feat = self._encode_video(
-                    dependencies, image, frame_rate, duration, cfg
+                    dependencies, image, frame_rate, encode_duration, cfg
                 )
 
         bundle = ModelBundle(
@@ -464,19 +473,15 @@ class HunyuanFoleySampler:
         cfg = bundle.pipeline_cfg
         if duration > cfg.max_duration_s:
             # beyond the reference's 60 s cap: windowed flow-match inpainting keeps memory
-            # bounded by the window length (pipeline/longform.py). T2A only; euler only.
-            if clip_feat is not None or sync_feat is not None:
-                raise ValueError(
-                    f"duration {duration}s exceeds {cfg.max_duration_s}s; the windowed "
-                    "long-form path is text-to-audio only (V2A features are not "
-                    "time-sliceable across windows)"
-                )
+            # bounded by the window length (pipeline/longform.py). Euler only; V2A windows
+            # slice the full video's features (encoded at plan_v2a_long's duration above).
             if sampler != "euler":
                 raise ValueError("long-form windowed generation supports the euler sampler only")
             from foley_tpu.pipeline.longform import generate_audio_long
 
             return generate_audio_long(
                 bundle, text_feat, uncond_text_feat, duration,
+                clip_feat=clip_feat, sync_feat=sync_feat,
                 window_s=min(30.0, cfg.max_duration_s),
                 guidance_scale=cfg_scale, num_inference_steps=steps,
                 batch_size=batch_size, seed=seed,

@@ -16,9 +16,16 @@ Memory is bounded by the window length regardless of total duration; per-window 
 reuses at most three compiled programs (first / interior / final window, which differ only
 in the static ``known_frames``).
 
-T2A only: the learned empty visual sequences tile to any window length. V2A conditioning
-would need time-sliced clip/sync features per window (the sync segment grid is not
-linear in time) — raise rather than approximate.
+V2A windows slice the FULL video's conditioning features: SigLIP2 clip features are
+per-frame (8 fps) and Synchformer sync features are per-segment with NO cross-segment
+mixing (``models/synchformer.py::apply`` folds the segment dim into the batch — each
+16-frame/stride-8 segment is encoded independently), so slicing the full-duration feature
+tensors at a window is EXACTLY what encoding that window's frames alone would produce —
+provided the window start lands where all three conditioning grids align. ``t0*8 ∈ Z``
+(clip frames) together with ``t0*25 ≡ 0 (mod 8)`` (segment starts sit on the global
+stride-8 grid) forces ``t0 ∈ 8Z`` seconds (25m = 64k has smallest solution m=64), which
+also sits on the 50 fps latent grid; window STARTS must therefore be multiples of 8 s
+(``V2A_GRID_S``), arranged by snapping the window stride down to that grid.
 """
 
 from __future__ import annotations
@@ -70,12 +77,68 @@ def window_schedule(
     return sched
 
 
+#: Window starts in V2A long-form must be multiples of this (seconds): the smallest t0
+#: with t0*8 integer (clip grid) and t0*25 ≡ 0 mod 8 (sync segment grid). See module doc.
+V2A_GRID_S = 8
+
+
+def plan_v2a_long(
+    cfg, duration_s: float, window_s: float = 30.0, overlap_s: Optional[float] = None
+) -> Tuple[float, float, float]:
+    """(feature_duration_s, window_s, overlap_s) for a V2A long-form run.
+
+    The window stride is snapped DOWN to the ``V2A_GRID_S`` grid (more overlap than
+    requested, never less) and the total is snapped UP to the stride grid, so every
+    window start is a multiple of 8 s and every window clamps the same overlap — the
+    caller must encode the video at ``feature_duration_s`` (``resample_frames`` pads past
+    the video's end by repeating the last frame, the reference's own short-video
+    semantics, ``nodes.py:294-317``) and pass the resulting full feature tensors to
+    ``generate_audio_long``. Returns the (possibly adjusted) window/overlap to pass too."""
+    if overlap_s is None:
+        overlap_s = min(5.0, window_s / 4.0)
+    rate = cfg.model.audio_frame_rate
+    grid = V2A_GRID_S * rate
+    win_frames = cfg.latent_length(window_s)
+    total_frames = cfg.latent_length(duration_s)
+    if total_frames <= win_frames:
+        return duration_s, window_s, overlap_s
+    step = (win_frames - cfg.latent_length(overlap_s)) // grid * grid
+    if step < grid:
+        raise ValueError(
+            f"V2A long-form needs window - overlap >= {V2A_GRID_S}s "
+            f"(got window {window_s}s, overlap {overlap_s}s)"
+        )
+    total_frames = win_frames + -(-(total_frames - win_frames) // step) * step
+    return total_frames / rate, window_s, (win_frames - step) / rate
+
+
+def _slice_v2a_window(cfg, clip_full, sync_full, start_frames: int, win_frames: int):
+    """Window slices of full-duration V2A features; exact (segment-local encoders) when
+    ``start_frames`` is a multiple of the 8 s grid (asserted by the caller's schedule)."""
+    rate = cfg.model.audio_frame_rate
+    t0_s = start_frames // rate
+    clip_len, sync_len = cfg.t2a_lengths(win_frames / rate)
+    c0 = t0_s * cfg.siglip2_fps
+    # sync token index == 25 fps frame index: segment seg0 = t0*25/8 starts the window and
+    # each segment contributes 8 tokens, so the token offset is seg0*8 = t0*25.
+    s0 = t0_s * cfg.synchformer_fps
+    if clip_full.shape[1] < c0 + clip_len or sync_full.shape[1] < s0 + sync_len:
+        raise ValueError(
+            f"V2A features too short for window at {t0_s}s: need clip>={c0 + clip_len} "
+            f"(got {clip_full.shape[1]}), sync>={s0 + sync_len} (got {sync_full.shape[1]}); "
+            "encode the video at plan_v2a_long()'s feature_duration_s"
+        )
+    return clip_full[:, c0 : c0 + clip_len], sync_full[:, s0 : s0 + sync_len]
+
+
 def generate_audio_long(
     bundle: ModelBundle,
     text_feat: jnp.ndarray,
     uncond_text_feat: jnp.ndarray,
     duration_s: float,
     *,
+    clip_feat: Optional[jnp.ndarray] = None,
+    sync_feat: Optional[jnp.ndarray] = None,
     window_s: float = 30.0,
     overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
@@ -93,16 +156,29 @@ def generate_audio_long(
     Determinism: the noise for the FULL stitched latent sequence is drawn once from
     ``seed``; every window uses its slice, so overlap regions see consistent noise and the
     result is a pure function of (seed, conditioning, schedule). Euler solver (the clamp's
-    requirement — and the reference's own recommendation, ``nodes.py:227``)."""
+    requirement — and the reference's own recommendation, ``nodes.py:227``).
+
+    V2A: pass ``clip_feat``/``sync_feat`` encoded from the FULL video at
+    ``plan_v2a_long()``'s feature_duration_s (and its adjusted window/overlap); each
+    window consumes its exact slice (see module doc for why slicing is exact)."""
     cfg = bundle.pipeline_cfg
     t0 = time.perf_counter()
+    v2a = clip_feat is not None or sync_feat is not None
+    if v2a and (clip_feat is None or sync_feat is None):
+        raise ValueError("V2A long-form needs both clip_feat and sync_feat")
     if overlap_s is None:
         overlap_s = min(5.0, window_s / 4.0)  # small windows keep a proportional overlap
 
     total_frames = cfg.latent_length(duration_s)
     win_frames = cfg.latent_length(window_s)
+    if v2a and total_frames > win_frames:
+        # window starts must land on the 8 s conditioning grid (module doc): the plan
+        # snaps the stride DOWN to it and the total UP to the stride grid (trimmed to the
+        # requested duration below, exactly like snap_to_window_grid)
+        feat_dur_s, _, overlap_s = plan_v2a_long(cfg, duration_s, window_s, overlap_s)
+        total_frames = cfg.latent_length(feat_dur_s)
     ov_frames = cfg.latent_length(overlap_s)
-    if snap_to_window_grid and total_frames > win_frames:
+    if snap_to_window_grid and not v2a and total_frames > win_frames:
         # Production-serving mode: generate on the window-stride grid (slightly more than
         # requested, trimmed to duration below) so every window clamps exactly ov_frames
         # and the decode length quantizes — arbitrary durations reuse a BOUNDED set of
@@ -114,14 +190,23 @@ def generate_audio_long(
         win_frames = total_frames  # single window: exactly generate_audio's geometry
     win_duration = win_frames / cfg.model.audio_frame_rate
 
-    # T2A conditioning at the WINDOW duration — identical for every window
-    clip_feat, sync_feat = t2a_features(bundle.mmdit_params, cfg, win_duration, batch_size=1)
     use_cfg = guidance_scale > 1.0
-    features = prepare_cfg_features(
-        bundle.mmdit_params, text_feat, uncond_text_feat, clip_feat, sync_feat,
-        batch_size=batch_size, use_cfg=use_cfg,
-        text_bucket=text_bucket or pick_text_bucket(int(text_feat.shape[1])),
-    )
+    bucket = text_bucket or pick_text_bucket(int(text_feat.shape[1]))
+
+    def window_features(start: int):
+        """Conditioning for the window at latent frame ``start`` (shape-stable across
+        windows, so all windows share the compiled denoise variants)."""
+        if v2a:
+            clip_w, sync_w = _slice_v2a_window(cfg, clip_feat, sync_feat, start, win_frames)
+        else:
+            # T2A: the learned empty sequences at the WINDOW duration — start-invariant
+            clip_w, sync_w = t2a_features(bundle.mmdit_params, cfg, win_duration, batch_size=1)
+        return prepare_cfg_features(
+            bundle.mmdit_params, text_feat, uncond_text_feat, clip_w, sync_w,
+            batch_size=batch_size, use_cfg=use_cfg, text_bucket=bucket,
+        )
+
+    features = None if v2a else window_features(0)  # T2A: identical for every window
 
     from foley_tpu.ops.attention import resolve_attn_impl
 
@@ -145,14 +230,16 @@ def generate_audio_long(
             + (f", {known} clamped" if known else "")
         )
         win_out = denoise_latents(
-            bundle.mmdit_params, win_noise, features, jnp.float32(guidance_scale),
+            bundle.mmdit_params, win_noise,
+            window_features(start) if v2a else features, jnp.float32(guidance_scale),
             known_lat,
             cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
             solver="euler", use_cfg=use_cfg, attn_impl=attn_impl,
             compute_dtype=bundle.compute_dtype,
             offload_fetch=bundle.offload_fetch, offload_prefetch=bundle.offload_prefetch,
             progress=bundle.progress,
-            visual_rows_shared=use_cfg,  # T2A by construction
+            # under CFG the T2A halves share visual rows; V2A halves differ (empty vs real)
+            visual_rows_shared=use_cfg and not v2a,
             known_frames=known,
         )
         # the clamped prefix equals the previous tail exactly; copying the whole window is

@@ -236,17 +236,20 @@ class FoleyService:
         prompt = request.get("prompt", "")
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))
-        # beyond the largest warmed bucket: windowed long-form (T2A only) instead of the
-        # old silent snap-down — the window is the largest warmed duration
+        # beyond the largest warmed bucket: windowed long-form instead of the old silent
+        # snap-down — the window is the largest warmed duration
         long_form = duration > self.durations[-1]
-        if long_form and ("frames_b64" in request or "frames_path" in request):
-            raise ValueError(
-                f"duration {duration}s exceeds the largest warmed bucket "
-                f"({self.durations[-1]}s); the windowed long-form path is T2A only"
-            )
         if long_form and request.get("sampler", "euler") != "euler":
             raise ValueError("long-form generation supports the euler sampler only")
         bucket_duration = duration if long_form else self._snap_duration(duration)
+        if long_form and ("frames_b64" in request or "frames_path" in request):
+            # long-form V2A: windows slice the FULL video's features — encode at the
+            # plan's snapped duration (raises if the window bucket is under the 8 s grid)
+            from foley_tpu.pipeline.longform import plan_v2a_long
+
+            bucket_duration, _, _ = plan_v2a_long(
+                self.bundle.pipeline_cfg, duration, window_s=float(self.durations[-1])
+            )
         steps = int(request.get("steps", self.default_steps))
         batch = int(request.get("batch_size", 1))
         want_mux = bool(request.get("mux_video", False))
@@ -269,6 +272,7 @@ class FoleyService:
 
                 result = generate_audio_long(
                     self.bundle, text, uncond, duration,
+                    clip_feat=clip_feat, sync_feat=sync_feat,
                     window_s=float(self.durations[-1]),
                     guidance_scale=float(request.get("cfg_scale", 4.5)),
                     num_inference_steps=steps,

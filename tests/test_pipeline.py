@@ -362,13 +362,16 @@ def test_generate_audio_long_end_to_end(bundle):
 
 def test_sampler_node_long_form_guards(bundle):
     """The sampler node routes >max-duration requests to the windowed path and rejects the
-    combinations it can't honor (V2A features, non-euler) with actionable errors."""
+    combinations it can't honor (undersized V2A features, non-euler) with actionable
+    errors."""
     from foley_tpu.api.nodes import HunyuanFoleySampler
 
     text, uncond = _text()
+    # V2A now routes through the windowed path — features sized for the requested duration
+    # only (not the plan's snapped duration) must fail loudly, not slice garbage
     fake_clip = jnp.zeros((1, 8, CFG.model.clip_dim), jnp.float32)
     fake_sync = jnp.zeros((1, 8, CFG.model.sync_feat_dim), jnp.float32)
-    with pytest.raises(ValueError, match="text-to-audio only"):
+    with pytest.raises(ValueError, match="too short"):
         HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
                                       fake_clip, fake_sync, 4.5, 4, "euler", 1, 0)
     with pytest.raises(ValueError, match="euler"):
@@ -398,3 +401,89 @@ def test_generate_audio_long_grid_snap(bundle):
     padded = win + -(-(total - win) // step) * step
     sched = window_schedule(padded, win, ov)
     assert all(known in (0, ov) for _, known in sched)
+
+
+def test_plan_v2a_long_grid():
+    """V2A long-form window starts land on the 8 s conditioning grid: the plan snaps the
+    stride down to the grid and the total up to the stride grid."""
+    from foley_tpu.pipeline.longform import V2A_GRID_S, plan_v2a_long, window_schedule
+
+    rate = CFG.model.audio_frame_rate
+    grid = V2A_GRID_S * rate
+
+    # window 16 s, requested overlap 4 s -> step snaps 600 -> 400 frames (overlap grows to 8 s)
+    feat_dur, win_s, ov_s = plan_v2a_long(CFG, 20.0, window_s=16.0, overlap_s=4.0)
+    assert win_s == 16.0 and ov_s == 8.0
+    total, win, ov = CFG.latent_length(feat_dur), CFG.latent_length(16.0), CFG.latent_length(8.0)
+    assert (total - win) % (win - ov) == 0  # total on the stride grid
+    for start, known in window_schedule(total, win, ov):
+        assert start % grid == 0  # every window start on the 8 s grid
+        assert known in (0, ov)
+
+    # short requests pass through unchanged (single window)
+    assert plan_v2a_long(CFG, 10.0, window_s=16.0) == (10.0, 16.0, min(5.0, 4.0))
+
+    # a window bucket at/under the grid cannot stride
+    with pytest.raises(ValueError, match="window - overlap"):
+        plan_v2a_long(CFG, 20.0, window_s=8.0, overlap_s=2.0)
+
+
+def test_v2a_window_slices_are_global_rows():
+    """_slice_v2a_window picks exactly the global feature rows of the window: clip row ==
+    8 fps frame index, sync token row == 25 fps frame index (segment-local encoder, 8
+    tokens per stride-8 segment — see longform.py module doc)."""
+    from foley_tpu.pipeline.longform import _slice_v2a_window
+
+    total_s, win_s, t0_s = 24, 16, 8
+    clip_len, sync_len = CFG.t2a_lengths(float(win_s))
+    full_clip_len, full_sync_len = CFG.t2a_lengths(float(total_s))
+    # feature value = its global row index
+    clip_full = jnp.arange(full_clip_len, dtype=jnp.float32)[None, :, None].repeat(
+        CFG.model.clip_dim, 2)
+    sync_full = jnp.arange(full_sync_len, dtype=jnp.float32)[None, :, None].repeat(
+        CFG.model.sync_feat_dim, 2)
+
+    rate = CFG.model.audio_frame_rate
+    clip_w, sync_w = _slice_v2a_window(CFG, clip_full, sync_full, t0_s * rate, win_s * rate)
+    np.testing.assert_array_equal(
+        np.asarray(clip_w)[0, :, 0], np.arange(t0_s * 8, t0_s * 8 + clip_len))
+    np.testing.assert_array_equal(
+        np.asarray(sync_w)[0, :, 0], np.arange(t0_s * 25, t0_s * 25 + sync_len))
+    # the last window's slice ends exactly at the full tensors' ends (snapped geometry)
+    assert t0_s * 8 + clip_len == full_clip_len
+    assert t0_s * 25 + sync_len == full_sync_len
+
+    with pytest.raises(ValueError, match="too short"):
+        _slice_v2a_window(CFG, clip_full[:, :-1], sync_full, t0_s * rate, win_s * rate)
+
+
+def test_generate_audio_long_v2a_end_to_end(bundle):
+    """20 s V2A through the windowed path: full-video features sliced per window, right
+    output length, finite, deterministic; both-or-neither feature validation."""
+    from foley_tpu.pipeline.longform import generate_audio_long, plan_v2a_long
+
+    text, uncond = _text()
+    feat_dur, _, _ = plan_v2a_long(CFG, 20.0, window_s=16.0, overlap_s=4.0)
+    clip_len, sync_len = CFG.t2a_lengths(feat_dur)
+    rng = np.random.default_rng(7)
+    clip_full = jnp.asarray(rng.normal(size=(1, clip_len, CFG.model.clip_dim)), jnp.float32)
+    sync_full = jnp.asarray(rng.normal(size=(1, sync_len, CFG.model.sync_feat_dim)), jnp.float32)
+
+    kwargs = dict(
+        clip_feat=clip_full, sync_feat=sync_full, window_s=16.0, overlap_s=4.0,
+        guidance_scale=4.5, num_inference_steps=2, batch_size=1, seed=3, text_bucket=16,
+        return_latents=True,
+    )
+    res = generate_audio_long(bundle, text, uncond, 20.0, **kwargs)
+    sr = CFG.dac.sample_rate
+    assert res.audio_first.shape == (1, 1, 20 * sr)
+    assert np.all(np.isfinite(res.audio_first))
+    assert res.latents.shape[1] == CFG.latent_length(20.0)
+    assert res.timings["windows"] == 2.0  # 16 s + stride 8 s covers the snapped 24 s
+
+    res2 = generate_audio_long(bundle, text, uncond, 20.0, **kwargs)
+    np.testing.assert_array_equal(res.audio_first, res2.audio_first)
+
+    with pytest.raises(ValueError, match="both clip_feat and sync_feat"):
+        generate_audio_long(bundle, text, uncond, 20.0,
+                            **{**kwargs, "sync_feat": None})

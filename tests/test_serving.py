@@ -285,7 +285,9 @@ def test_long_form_request_over_bucket(service):
     out = service.generate({"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3})
     assert out["waveform"].shape == (1, int(2.5 * 48000))
     assert np.all(np.isfinite(np.asarray(out["waveform"])))
-    with pytest.raises(ValueError, match="T2A only"):
+    # V2A over-bucket routes through the windowed path, whose stride must cover the 8 s
+    # conditioning grid — impossible with this service's 1 s window bucket: loud error
+    with pytest.raises(ValueError, match="window - overlap"):
         service.generate({"prompt": "wind", "duration": 2.5, "steps": 2,
                           "frames_b64": _frames_b64()})
     with pytest.raises(ValueError, match="euler"):

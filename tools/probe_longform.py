@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    durations = [float(d) for d in sys.argv[1:]] or [30.0, 60.0]
+    argv = sys.argv[1:]
+    windowed = "--windowed" in argv
+    if windowed:
+        argv.remove("--windowed")
+    durations = [float(d) for d in argv] or ([90.0] if windowed else [30.0, 60.0])
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +34,7 @@ def main():
     from foley_tpu.configs import get_config
     from foley_tpu.models import dac_vae
     from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+    from foley_tpu.pipeline.longform import generate_audio_long
 
     cfg = get_config("xxl")
     fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
@@ -41,26 +46,39 @@ def main():
     text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
 
     for dur in durations:
-        def once(seed):
-            return generate_audio(
-                bundle, text, text, dur, guidance_scale=4.5, num_inference_steps=50,
-                sampler="euler", batch_size=1, seed=seed)
+        if windowed:
+            # the unbounded-duration path: 30 s windows, flow-match-inpainting stitch,
+            # one chunked decode at the end (pipeline/longform.py). Memory stays bounded
+            # by the window, so this runs at ANY duration on the 16 GiB chip.
+            def once(seed):
+                return generate_audio_long(
+                    bundle, text, text, dur, window_s=30.0, guidance_scale=4.5,
+                    num_inference_steps=50, batch_size=1, seed=seed)
+            n_warm = 1  # each extra run re-pays len(sched) full window denoises
+        else:
+            def once(seed):
+                return generate_audio(
+                    bundle, text, text, dur, guidance_scale=4.5, num_inference_steps=50,
+                    sampler="euler", batch_size=1, seed=seed)
+            n_warm = 3
 
         t0 = time.perf_counter()
         r = once(0)  # compile + warm
         compile_s = time.perf_counter() - t0
         walls = []
-        for i in range(3):
+        for i in range(n_warm):
             t0 = time.perf_counter()
             r = once(i + 1)
             walls.append(time.perf_counter() - t0)
-        wall = sorted(walls)[1]
+        wall = sorted(walls)[len(walls) // 2]
         a = r.audio_batch
         print(json.dumps({
-            "measure": f"longform_{int(dur)}s_xxl_bf16_50step_cfg",
+            "measure": f"longform_{int(dur)}s_xxl_bf16_50step_cfg"
+                       + ("_windowed" if windowed else ""),
             "wall_s": round(wall, 2),
             "audio_sec_per_sec": round(dur / wall, 3),
             "first_call_s": round(compile_s, 1),
+            "windows": int(r.timings.get("windows", 1)) if windowed else 1,
             "finite": bool(np.all(np.isfinite(a))),
             "peak": float(np.abs(a).max()),
         }), flush=True)
