@@ -411,10 +411,10 @@ class HunyuanFoleySampler:
                 if duration > cfg.max_duration_s:
                     # long-form V2A: windows slice the FULL video's features, so encode at
                     # the plan's snapped duration (pipeline/longform.py module doc)
-                    from foley_tpu.pipeline.longform import plan_v2a_long
+                    from foley_tpu.pipeline.longform import default_window_s, plan_v2a_long
 
                     encode_duration, _, _ = plan_v2a_long(
-                        cfg, duration, window_s=min(30.0, cfg.max_duration_s)
+                        cfg, duration, window_s=default_window_s(cfg)
                     )
                 clip_feat, sync_feat = self._encode_video(
                     dependencies, image, frame_rate, encode_duration, cfg
@@ -477,12 +477,12 @@ class HunyuanFoleySampler:
             # slice the full video's features (encoded at plan_v2a_long's duration above).
             if sampler != "euler":
                 raise ValueError("long-form windowed generation supports the euler sampler only")
-            from foley_tpu.pipeline.longform import generate_audio_long
+            from foley_tpu.pipeline.longform import default_window_s, generate_audio_long
 
             return generate_audio_long(
                 bundle, text_feat, uncond_text_feat, duration,
                 clip_feat=clip_feat, sync_feat=sync_feat,
-                window_s=min(30.0, cfg.max_duration_s),
+                window_s=default_window_s(cfg),  # MUST match the encode path's plan above
                 guidance_scale=cfg_scale, num_inference_steps=steps,
                 batch_size=batch_size, seed=seed,
             )

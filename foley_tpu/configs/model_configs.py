@@ -146,13 +146,23 @@ class PipelineConfig:
         Reference nodes.py:326-333: clip_len = duration*8;
         num_sync_segments = (duration*25 - 16)//8 + 1; sync_len = segments*8.
         """
-        clip_len = int(duration_s * self.siglip2_fps)
-        num_sync_segments = (int(duration_s * self.synchformer_fps) - 16) // 8 + 1
+        clip_len = _frames(duration_s, self.siglip2_fps)
+        num_sync_segments = (_frames(duration_s, self.synchformer_fps) - 16) // 8 + 1
         sync_len = max(num_sync_segments, 1) * 8
         return clip_len, sync_len
 
     def latent_length(self, duration_s: float) -> int:
-        return int(duration_s * self.model.audio_frame_rate)
+        return _frames(duration_s, self.model.audio_frame_rate)
+
+
+def _frames(duration_s: float, rate: float) -> int:
+    """Reference truncation (``int(duration * fps)``, nodes.py:326-333) with a float-noise
+    guard: durations that round-trip through seconds (e.g. long-form plans returning
+    ``total_frames / 50``) can land epsilon BELOW the exact product (1/50 is not dyadic),
+    and plain ``int()`` would silently drop a frame, desyncing feature lengths from the
+    window schedule. The epsilon only rescues float noise — it never changes the result
+    for any duration distinguishable at ~1e-6 s."""
+    return int(duration_s * rate + 1e-6)
 
 
 # ---------------------------------------------------------------------------------

@@ -49,6 +49,35 @@ def unstack_params(stacked: Dict, depth: int) -> List[Dict]:
     return [jax.tree.map(lambda x, i=i: x[i], stacked) for i in range(depth)]
 
 
+def perturb_zero_leaves(params: Dict, key: jax.Array, scale: float = 0.02) -> Dict:
+    """Replace every all-zero float leaf with small random values (for tests/benchmarks).
+
+    The reference zero-initializes the output layers (its ``hifi_foley.py`` FinalLayer and
+    the adaLN modulation tails), so a randomly-initialized model emits exactly zero velocity
+    and any fidelity comparison through it is vacuous — the denoised latents equal the
+    initial noise in EVERY numerics mode. Fidelity/plumbing tests must run through a
+    non-trivial model: this perturbs exactly the zero-init leaves, leaving trained or
+    already-random leaves untouched. Deterministic given ``key`` and the tree structure.
+    """
+    import numpy as np
+
+    def _is_zero(l) -> bool:
+        # device leaves: reduce on-device and fetch ONE bool — never the leaf itself
+        # (an XXL tree is ~10 GiB; host round-trips through the TPU tunnel are the cost)
+        if isinstance(l, np.ndarray):
+            return not np.any(l)
+        return not bool(jnp.any(l))
+
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, max(len(leaves), 1))
+    leaves = [
+        jax.random.normal(k, l.shape, l.dtype) * scale
+        if jnp.issubdtype(l.dtype, jnp.floating) and _is_zero(l) else l
+        for k, l in zip(keys, leaves)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def param_count(params: Dict) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 

@@ -139,6 +139,7 @@ def merge_audio_video(
         "-i", audio_path,
         "-c:v", "copy",
         "-c:a", "aac",
+        "-ac", "2",
         "-af", "pan=stereo|c0=c0|c1=c0",
         *AUDIO_QUALITY_SETTINGS.get(quality, AUDIO_QUALITY_SETTINGS["high"]),
         "-map", "0:v:0", "-map", "1:a:0",

@@ -108,14 +108,20 @@ def quantize_int4(
 ) -> Tuple[Dict, Dict[str, int], int]:
     """int4 weight-only quantization with group-wise (input-axis) x per-channel scales.
 
-    Beyond the reference's fp8 mode: 4-bit symmetric weights (q in [-7, 7], XLA packs two
-    per byte on TPU) with a separate fp32 scale per ``group_size`` input channels per output
-    channel — the group-wise scales recover most of the fidelity plain per-channel int4
-    loses. A quantized 'w' leaf becomes ``{"int4": q, "scale": [..., n_groups, 1, out]}``;
-    ``ops/nn.py::_match`` dequantizes at use (reshape-multiply XLA fuses into the consuming
-    matmul). Weights whose input axis is not divisible by ``group_size`` use ONE group
-    (plain per-channel). Quarters weight HBM traffic vs bf16 — the measured bf16 batch-1
-    bound (ROADMAP post-hoist profile). Opt-in storage mode; same deny-list as fp8.
+    Beyond the reference's fp8 mode: 4-bit symmetric weights (q in [-7, 7]) with a separate
+    fp32 scale per ``group_size`` input channels per output channel — the group-wise scales
+    recover most of the fidelity plain per-channel int4 loses. A quantized 'w' leaf becomes
+    ``{"int4": packed uint8 [..., in/2, out], "scale": [..., n_groups, 1, out]}``: two
+    consecutive input rows per byte (row 2i in the low nibble, 2i+1 in the high, biased +8).
+    The nibble packing is done HOST-SIDE on purpose — ``jnp.int4`` arrays crash this axon
+    runtime's dispatch layer (``device_put`` for the S4 tiled-relayout recurses infinitely:
+    ``RecursionError: Recursively calling jit``; standalone repro ``tools/repro_int4.py``),
+    so the 4-bit storage never touches the int4 dtype. ``ops/nn.py::_match`` unpacks with a
+    shift/mask/reshape chain that XLA fuses into the consuming matmul's operand read.
+    Weights whose input axis is not divisible by ``group_size`` use ONE group (plain
+    per-channel); odd input axes stay unquantized. Quarters weight HBM traffic vs bf16 —
+    the measured bf16 batch-1 bound (ROADMAP post-hoist profile). Opt-in storage mode; same
+    deny-list as fp8.
 
     Quantization math always runs host-side in numpy (the device-side fp32 temporaries of
     the big stacked leaves OOM a resident XXL, as measured for int8);
@@ -131,7 +137,8 @@ def quantize_int4(
         leaf = flat[path]
         is_weight = path.endswith(".w") or path.endswith(".weight")
         denied = any(s in path for s in deny_substrings) or not is_weight
-        if denied or not jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.ndim < 2:
+        if (denied or not jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.ndim < 2
+                or leaf.shape[-2] % 2):
             out[path] = leaf
             counts["skipped"] += 1
             continue
@@ -143,10 +150,12 @@ def quantize_int4(
         if consume:
             flat[path] = None
         scale = np.maximum(np.max(np.abs(w32), axis=-2, keepdims=True) / 7.0, 1e-12)
-        q = np.clip(np.round(w32 / scale), -7, 7).reshape(leaf.shape)
-        q4 = jnp.asarray(q.astype(np.int8)).astype(jnp.int4)
+        # bias to [1, 15] and pack consecutive input-row pairs into one byte (lo = row 2i)
+        qb = (np.clip(np.round(w32 / scale), -7, 7).reshape(leaf.shape) + 8).astype(np.uint8)
+        packed = (qb[..., 1::2, :] << 4) | qb[..., 0::2, :]
+        q4 = jnp.asarray(packed)
         scale_j = jnp.asarray(scale.astype(np.float32))
-        saved += int(leaf.size) * leaf.dtype.itemsize - (int(leaf.size) + 1) // 2 \
+        saved += int(leaf.size) * leaf.dtype.itemsize - int(packed.size) \
             - int(scale_j.size) * 4
         out[path + ".int4"] = q4
         out[path + ".scale"] = scale_j

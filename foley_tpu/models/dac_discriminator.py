@@ -96,12 +96,13 @@ def init_msd(key, dtype=jnp.float32) -> Dict:
 
 
 def apply_msd(params: Dict, x: jnp.ndarray, rate: int = 1) -> List[jnp.ndarray]:
-    """x: [B, T, 1]. rate>1 downsampling uses strided average pooling (the reference resamples
-    with a polyphase filter via audiotools; average pooling is the alias-safe stand-in).
-    ``rate`` is static."""
+    """x: [B, T, 1]. rate>1 downsamples with the same polyphase windowed-sinc filter the
+    reference applies (``discriminator.py:95-118`` resamples via audiotools -> julius;
+    ``ops/audio_dsp.py::resample_poly`` is the transcription). ``rate`` is static."""
     if rate > 1:
-        t = (x.shape[1] // rate) * rate
-        x = jnp.mean(x[:, :t].reshape(x.shape[0], -1, rate, x.shape[2]), axis=2)
+        from foley_tpu.ops.audio_dsp import resample_poly
+
+        x = resample_poly(x[..., 0], rate, 1)[..., None]
     fmap = []
     for conv, (_, _, _, stride, groups, pad) in zip(params["convs"], _MSD_SPECS):
         x = _leaky(conv1d(x, conv["w"], conv["b"], stride=stride, padding=pad, groups=groups))

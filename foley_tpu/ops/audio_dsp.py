@@ -184,3 +184,54 @@ def segment_audio(x: jnp.ndarray, segment_size: int = 10240, step_size: int = 51
     starts = jnp.arange(max(num, 1)) * step_size
     idx = starts[:, None] + jnp.arange(segment_size)[None, :]
     return x[..., idx]
+
+
+def _sinc_resample_kernel(old_sr: int, new_sr: int, zeros: int, rolloff: float):
+    """Polyphase windowed-sinc kernel bank, julius ``ResampleFrac`` construction: one
+    length-(2*width + old_sr) FIR per output phase, Hann^2 (= cos^2) windowed sinc at
+    cutoff ``min(old, new) * rolloff``, scaled by cutoff/old_sr. Returns
+    (kernel [new_sr, K] float32, width)."""
+    sr = min(new_sr, old_sr) * rolloff
+    width = math.ceil(zeros * old_sr / sr)
+    idx = np.arange(-width, width + old_sr, dtype=np.float64)
+    kernels = []
+    for i in range(new_sr):
+        t = np.clip((-i / new_sr + idx / old_sr) * sr, -zeros, zeros) * np.pi
+        window = np.cos(t / zeros / 2) ** 2
+        kernels.append(np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * window)
+    return np.stack(kernels).astype(np.float32) * np.float32(sr / old_sr), width
+
+
+def resample_poly(
+    x: jnp.ndarray, orig_sr: int, target_sr: int, zeros: int = 24, rolloff: float = 0.945
+) -> jnp.ndarray:
+    """Polyphase sinc resampling of ``x [..., T]`` from ``orig_sr`` to ``target_sr``.
+
+    Transcribes julius ``resample_frac`` (the backend of audiotools
+    ``AudioSignal.resample``, which the reference's MSD uses for its rate>1 branch,
+    ``dac_vae/model/discriminator.py:95-118``): zero-pad (width, width + old_sr), one
+    strided conv per output phase (stride = reduced old_sr), interleave phases, trim to
+    ``int(target_sr * T / orig_sr)`` samples. julius isn't installable in this image, so
+    this is a from-the-paper reimplementation validated by property tests
+    (tests/test_dac_training.py::test_resample_poly_properties: bandlimited tones
+    reconstruct; above-Nyquist content is rejected) rather than a literal-code oracle
+    pin."""
+    old_sr = int(orig_sr)
+    new_sr = int(target_sr)
+    g = math.gcd(old_sr, new_sr)
+    old_sr //= g
+    new_sr //= g
+    if old_sr == new_sr:
+        return x
+    length = x.shape[-1]
+    kernel, width = _sinc_resample_kernel(old_sr, new_sr, zeros, rolloff)
+    lead = x.shape[:-1]
+    xp = jnp.pad(x.reshape((-1, 1, length)), ((0, 0), (0, 0), (width, width + old_sr)))
+    # [B, new_sr phases, T'] — one dot-general, all phases share the strided input windows
+    ys = jax.lax.conv_general_dilated(
+        xp.astype(jnp.float32), jnp.asarray(kernel)[:, None, :],
+        window_strides=(old_sr,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    y = jnp.swapaxes(ys, 1, 2).reshape((ys.shape[0], -1))  # interleave phases in time
+    return y[..., : int(new_sr * length / old_sr)].reshape(lead + (-1,)).astype(x.dtype)

@@ -36,11 +36,17 @@ def _match(w, x: jnp.ndarray) -> jnp.ndarray:
         q = w.get("int8", w.get("int8_dyn"))
         return q.astype(x.dtype) * w["scale"].astype(x.dtype)
     if isinstance(w, dict) and "int4" in w:
-        # group-wise scales (quantize_int4): q [..., in, out], scale [..., n_groups, 1, out]
-        q, scale = w["int4"], w["scale"]
-        grouped = q.shape[:-2] + (scale.shape[-3], q.shape[-2] // scale.shape[-3], q.shape[-1])
+        # nibble-packed int4 (quantize_int4): p uint8 [..., in/2, out] (row 2i in the low
+        # nibble, 2i+1 high, +8 bias), scale [..., n_groups, 1, out]. The jnp.int4 dtype is
+        # deliberately never used — it crashes the axon dispatch layer (see quantize_int4).
+        p, scale = w["int4"], w["scale"]
+        lo = (p & 0xF).astype(jnp.int8) - 8
+        hi = (p >> 4).astype(jnp.int8) - 8
+        q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out] -> rows (2i, 2i+1)
+        cin = 2 * p.shape[-2]
+        grouped = p.shape[:-2] + (scale.shape[-3], cin // scale.shape[-3], p.shape[-1])
         deq = q.astype(x.dtype).reshape(grouped) * scale.astype(x.dtype)
-        return deq.reshape(q.shape)
+        return deq.reshape(p.shape[:-2] + (cin, p.shape[-1]))
     return w if w.dtype == x.dtype else w.astype(x.dtype)
 
 

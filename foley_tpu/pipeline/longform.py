@@ -20,8 +20,12 @@ V2A windows slice the FULL video's conditioning features: SigLIP2 clip features 
 per-frame (8 fps) and Synchformer sync features are per-segment with NO cross-segment
 mixing (``models/synchformer.py::apply`` folds the segment dim into the batch — each
 16-frame/stride-8 segment is encoded independently), so slicing the full-duration feature
-tensors at a window is EXACTLY what encoding that window's frames alone would produce —
-provided the window start lands where all three conditioning grids align. ``t0*8 ∈ Z``
+tensors at a window is EXACTLY what encoding that window's slice of the full video's
+resampled frame stream would produce — provided the window start lands where all three
+conditioning grids align. (Exactness holds at the feature-encoder level; the frame
+resampler itself uses the reference's ``torch.linspace(0, T-1, n)`` endpoint semantics, so
+a window re-encoded from its own raw video in isolation would pick marginally different
+source frames than the full-video resample this pipeline slices.) ``t0*8 ∈ Z``
 (clip frames) together with ``t0*25 ≡ 0 (mod 8)`` (segment starts sit on the global
 stride-8 grid) forces ``t0 ∈ 8Z`` seconds (25m = 64k has smallest solution m=64), which
 also sits on the 50 fps latent grid; window STARTS must therefore be multiples of 8 s
@@ -80,6 +84,15 @@ def window_schedule(
 #: Window starts in V2A long-form must be multiples of this (seconds): the smallest t0
 #: with t0*8 integer (clip grid) and t0*25 ≡ 0 mod 8 (sync segment grid). See module doc.
 V2A_GRID_S = 8
+
+
+def default_window_s(cfg) -> float:
+    """The long-form window the node layer uses: 30 s (fits a 16 GiB chip in bf16 with
+    chunked decode, ROADMAP long-form table), capped at the config's single-window max.
+    ONE definition on purpose — the V2A encode path (``plan_v2a_long``) and the generation
+    path (``generate_audio_long``) must agree on the window or the encoded feature
+    duration silently desyncs from the window schedule and fails mid-run."""
+    return min(30.0, cfg.max_duration_s)
 
 
 def plan_v2a_long(
@@ -186,6 +199,11 @@ def generate_audio_long(
         step = win_frames - ov_frames
         total_frames = win_frames + -(-(total_frames - win_frames) // step) * step
     sched = window_schedule(total_frames, win_frames, ov_frames)
+    if v2a and len(sched) > 1:
+        # Validate the LAST window's slice bounds up front: undersized features (sized for
+        # the requested rather than the plan's snapped duration) must fail NOW, not after
+        # every earlier window has already been denoised (minutes of wasted XXL TPU time).
+        _slice_v2a_window(cfg, clip_feat, sync_feat, sched[-1][0], win_frames)
     if len(sched) == 1:
         win_frames = total_frames  # single window: exactly generate_audio's geometry
     win_duration = win_frames / cfg.model.audio_frame_rate

@@ -361,7 +361,8 @@ def test_int8_end_to_end_generation():
 
 
 def test_int4_quantize_policy_and_fidelity():
-    """int4 group-wise quantization: packed int4 storage, group-structured scales,
+    """int4 group-wise quantization: nibble-packed uint8 storage (never the jnp.int4 dtype
+    — it crashes the axon dispatch layer, see quantize_int4), group-structured scales,
     deny-list honored, dequant-at-use matmul error bounded, and a quantized tiny forward
     runs finite end-to-end."""
     from foley_tpu.io.quantize import quantize_int4
@@ -371,8 +372,9 @@ def test_int4_quantize_policy_and_fidelity():
     q, counts, saved = quantize_int4(params, group_size=16)
     assert counts["quantized"] > 0 and saved > 0
     leaf = q["triple_blocks"]["audio_self_attn_qkv"]["w"]
-    assert isinstance(leaf, dict) and leaf["int4"].dtype == jnp.int4
     d, i, o = params["triple_blocks"]["audio_self_attn_qkv"]["w"].shape
+    assert isinstance(leaf, dict) and leaf["int4"].dtype == jnp.uint8
+    assert leaf["int4"].shape == (d, i // 2, o)
     groups = i // 16 if i % 16 == 0 else 1
     assert leaf["scale"].shape == (d, groups, 1, o)
     assert not isinstance(q["final_layer"]["linear"]["w"], dict)  # deny-list
@@ -385,8 +387,11 @@ def test_int4_quantize_policy_and_fidelity():
     got = dense(x, {"int4": leaf["int4"][0], "scale": leaf["scale"][0]})
     rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 0.08, rel
-    # and it is strictly the round-to-scale dequant (exact vs a numpy dequant)
-    deq = (np.asarray(leaf["int4"][0]).astype(np.float32)
+    # and it is strictly the round-to-scale dequant (exact vs a numpy nibble-unpack dequant)
+    p = np.asarray(leaf["int4"][0])
+    qvals = np.stack([(p & 0xF).astype(np.int8) - 8, (p >> 4).astype(np.int8) - 8],
+                     axis=-2).reshape(i, o)
+    deq = (qvals.astype(np.float32)
            .reshape(groups, i // groups, o) * np.asarray(leaf["scale"][0])).reshape(i, o)
     np.testing.assert_allclose(np.asarray(got), np.asarray(dense(x, jnp.asarray(deq))),
                                rtol=1e-5, atol=1e-5)

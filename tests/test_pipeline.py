@@ -22,8 +22,28 @@ CFG = TINY
 
 @pytest.fixture(scope="module")
 def bundle():
+    """Raw random init: the reference's zero-init final layer gives EXACTLY zero velocity
+    (latents never move) — kept deliberately for the structural invariants that depend on
+    it (test_known_prefix_clamp_is_exact's untouched-suffix assertion). Tests that must
+    detect plumbing bugs (wrong window slice, clamp corrupting model inputs) use
+    ``live_bundle`` instead — through a zero-velocity model they'd be vacuous."""
     return ModelBundle(
         mmdit_params=mmdit.init(jax.random.PRNGKey(0), CFG.model),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), CFG.dac),
+        pipeline_cfg=CFG,
+        compute_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def live_bundle():
+    """Non-trivial denoiser: zero-init leaves perturbed so the model emits real velocity
+    and the output is sensitive to conditioning, window wiring, and the inpainting clamp."""
+    from foley_tpu.core.params import perturb_zero_leaves
+
+    return ModelBundle(
+        mmdit_params=perturb_zero_leaves(
+            mmdit.init(jax.random.PRNGKey(0), CFG.model), jax.random.PRNGKey(100)),
         dac_params=dac_vae.init(jax.random.PRNGKey(1), CFG.dac),
         pipeline_cfg=CFG,
         compute_dtype=jnp.float32,
@@ -335,29 +355,70 @@ def test_known_prefix_clamp_is_exact(bundle):
         )
 
 
-def test_generate_audio_long_end_to_end(bundle):
-    """3 s in 2 s windows with 0.5 s overlap: right length, finite, deterministic, and the
-    stitched latents cover the full duration."""
+def test_generate_audio_long_end_to_end(live_bundle):
+    """3 s in 2 s windows with 0.5 s overlap through a NON-TRIVIAL model: right length,
+    finite, deterministic, the stitched latents cover the full duration, and the denoiser
+    actually moved the latents (zero-velocity vacuity guard)."""
     from foley_tpu.pipeline.longform import generate_audio_long
+    from foley_tpu.sampling.denoise import prepare_latents
 
     text, uncond = _text()
     kwargs = dict(
         window_s=2.0, overlap_s=0.5, guidance_scale=4.5, num_inference_steps=4,
         batch_size=1, seed=11, text_bucket=16, return_latents=True,
     )
-    res = generate_audio_long(bundle, text, uncond, 3.0, **kwargs)
+    res = generate_audio_long(live_bundle, text, uncond, 3.0, **kwargs)
     sr = CFG.dac.sample_rate
     assert res.audio_first.shape == (1, 1, 3 * sr)
     assert np.all(np.isfinite(res.audio_first))
     assert res.latents.shape == (1, CFG.latent_length(3.0), CFG.model.audio_vae_latent_dim)
     assert res.timings["windows"] == 2.0
+    # the model emits real velocity: final latents differ from the initial noise
+    noise = prepare_latents(jax.random.PRNGKey(11), 1, CFG.latent_length(3.0),
+                            CFG.model.audio_vae_latent_dim)
+    assert np.abs(res.latents - np.asarray(noise)).max() > 1e-3
 
-    res2 = generate_audio_long(bundle, text, uncond, 3.0, **kwargs)
+    res2 = generate_audio_long(live_bundle, text, uncond, 3.0, **kwargs)
     np.testing.assert_array_equal(res.audio_first, res2.audio_first)
 
     # single-window degenerate case (duration fits in one window)
-    res3 = generate_audio_long(bundle, text, uncond, 1.0, **kwargs)
+    res3 = generate_audio_long(live_bundle, text, uncond, 1.0, **kwargs)
     assert res3.audio_first.shape == (1, 1, sr) and res3.timings["windows"] == 1.0
+
+
+def test_clamped_prefix_influences_free_region(live_bundle):
+    """The inpainting clamp is not a spectator: with a non-trivial model, the free region
+    of a clamped window differs from the same window denoised unclamped — attention SEES
+    the inpainted prefix. (Through a zero-velocity model this is undetectable, which is
+    exactly how a wrong-slice clamp could hide — round-3 verdict weak #3.)"""
+    from foley_tpu.pipeline.features import prepare_cfg_features, t2a_features
+    from foley_tpu.sampling.denoise import denoise_latents, prepare_latents
+
+    text, uncond = _text()
+    clip_feat, sync_feat = t2a_features(live_bundle.mmdit_params, CFG, 1.0, batch_size=1)
+    features = prepare_cfg_features(
+        live_bundle.mmdit_params, text, uncond, clip_feat, sync_feat,
+        batch_size=1, use_cfg=True, text_bucket=16,
+    )
+    T, k = CFG.latent_length(1.0), 20
+    noise = prepare_latents(jax.random.PRNGKey(3), 1, T, CFG.model.audio_vae_latent_dim)
+    known = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, k, CFG.model.audio_vae_latent_dim))
+        .astype(np.float32))
+
+    common = dict(cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver="euler",
+                  use_cfg=True, compute_dtype=jnp.float32)
+    clamped = np.asarray(denoise_latents(
+        live_bundle.mmdit_params, noise, features, jnp.float32(4.5), known,
+        known_frames=k, **common))
+    free = np.asarray(denoise_latents(
+        live_bundle.mmdit_params, noise, features, jnp.float32(4.5), **common))
+    # clamp semantics hold with a live model too: prefix == known exactly at sigma=0
+    np.testing.assert_array_equal(clamped[:, :k], np.asarray(known))
+    # and the free region is INFLUENCED by the clamped prefix, not just copied around it
+    assert np.abs(clamped[:, k:] - free[:, k:]).max() > 1e-5
+    # sanity: the unclamped run actually denoises (live model, non-zero velocity)
+    assert np.abs(free - np.asarray(noise)).max() > 1e-3
 
 
 def test_sampler_node_long_form_guards(bundle):
@@ -457,9 +518,10 @@ def test_v2a_window_slices_are_global_rows():
         _slice_v2a_window(CFG, clip_full[:, :-1], sync_full, t0_s * rate, win_s * rate)
 
 
-def test_generate_audio_long_v2a_end_to_end(bundle):
-    """20 s V2A through the windowed path: full-video features sliced per window, right
-    output length, finite, deterministic; both-or-neither feature validation."""
+def test_generate_audio_long_v2a_end_to_end(live_bundle):
+    """20 s V2A through the windowed path with a NON-TRIVIAL model: full-video features
+    sliced per window, right output length, finite, deterministic; both-or-neither feature
+    validation."""
     from foley_tpu.pipeline.longform import generate_audio_long, plan_v2a_long
 
     text, uncond = _text()
@@ -474,16 +536,65 @@ def test_generate_audio_long_v2a_end_to_end(bundle):
         guidance_scale=4.5, num_inference_steps=2, batch_size=1, seed=3, text_bucket=16,
         return_latents=True,
     )
-    res = generate_audio_long(bundle, text, uncond, 20.0, **kwargs)
+    res = generate_audio_long(live_bundle, text, uncond, 20.0, **kwargs)
     sr = CFG.dac.sample_rate
     assert res.audio_first.shape == (1, 1, 20 * sr)
     assert np.all(np.isfinite(res.audio_first))
     assert res.latents.shape[1] == CFG.latent_length(20.0)
     assert res.timings["windows"] == 2.0  # 16 s + stride 8 s covers the snapped 24 s
 
-    res2 = generate_audio_long(bundle, text, uncond, 20.0, **kwargs)
+    res2 = generate_audio_long(live_bundle, text, uncond, 20.0, **kwargs)
     np.testing.assert_array_equal(res.audio_first, res2.audio_first)
 
     with pytest.raises(ValueError, match="both clip_feat and sync_feat"):
-        generate_audio_long(bundle, text, uncond, 20.0,
+        generate_audio_long(live_bundle, text, uncond, 20.0,
                             **{**kwargs, "sync_feat": None})
+
+    # undersized features (sized for the REQUESTED duration, not the plan's snapped one)
+    # fail BEFORE any window is denoised (up-front last-window bounds validation)
+    short_clip_len, short_sync_len = CFG.t2a_lengths(20.0)
+    with pytest.raises(ValueError, match="too short"):
+        generate_audio_long(
+            live_bundle, text, uncond, 20.0,
+            **{**kwargs, "clip_feat": clip_full[:, :short_clip_len],
+               "sync_feat": sync_full[:, :short_sync_len]})
+
+
+def test_v2a_window_conditioning_is_per_window(live_bundle):
+    """Each V2A window consumes ITS OWN feature slice: editing only the rows exclusive to
+    window 2 leaves window 1's latent region bit-identical and changes window 2's free
+    region. Fails if window_features(start) is wired to the wrong slice — undetectable
+    through a zero-velocity model (round-3 verdict weak #3)."""
+    from foley_tpu.pipeline.longform import generate_audio_long, plan_v2a_long
+
+    text, uncond = _text()
+    feat_dur, _, ov_s = plan_v2a_long(CFG, 20.0, window_s=16.0, overlap_s=4.0)
+    clip_len_full, sync_len_full = CFG.t2a_lengths(feat_dur)
+    clip_len_w, sync_len_w = CFG.t2a_lengths(16.0)  # window 1 consumes rows [0, len_w)
+    rng = np.random.default_rng(9)
+    clip_a = rng.normal(size=(1, clip_len_full, CFG.model.clip_dim)).astype(np.float32)
+    sync_a = rng.normal(size=(1, sync_len_full, CFG.model.sync_feat_dim)).astype(np.float32)
+    # B differs from A ONLY in rows no window-1 slice touches (beyond window 1's lengths)
+    clip_b, sync_b = clip_a.copy(), sync_a.copy()
+    clip_b[:, clip_len_w:] += 1.0
+    sync_b[:, sync_len_w:] += 1.0
+
+    kwargs = dict(
+        window_s=16.0, overlap_s=4.0, guidance_scale=4.5, num_inference_steps=2,
+        batch_size=1, seed=3, text_bucket=16, return_latents=True,
+    )
+    res_a = generate_audio_long(live_bundle, text, uncond, 20.0,
+                                clip_feat=jnp.asarray(clip_a), sync_feat=jnp.asarray(sync_a),
+                                **kwargs)
+    res_b = generate_audio_long(live_bundle, text, uncond, 20.0,
+                                clip_feat=jnp.asarray(clip_b), sync_feat=jnp.asarray(sync_b),
+                                **kwargs)
+
+    rate = CFG.model.audio_frame_rate
+    start2, ov = 8 * rate, CFG.latent_length(ov_s)
+    # window 1's region ([0, start2)) and window 2's clamped prefix ([start2, start2+ov))
+    # come from window 1's denoise + the exact clamp: bit-identical across A/B
+    np.testing.assert_array_equal(res_a.latents[:, : start2 + ov],
+                                  res_b.latents[:, : start2 + ov])
+    # window 2's free region saw different conditioning rows: must differ
+    assert np.abs(res_a.latents[:, start2 + ov :] - res_b.latents[:, start2 + ov :]).max() > 1e-6

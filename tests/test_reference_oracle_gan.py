@@ -9,7 +9,9 @@ itself is absent in this image). Every line of discriminator conv math and loss 
 executed here is the reference's own code.
 
 Documented divergences NOT covered (PARITY.md "Known intentional divergences"):
-MSD rate>1 (audiotools polyphase resample vs our average pooling) — the oracle pins rate=1.
+MSD rate>1 — the oracle pins rate=1 (the reference's only default rate); the rate>1 branch
+uses our julius-transcribed ``ops/audio_dsp.py::resample_poly``, property-tested in
+test_dac_training (julius itself isn't installable here, so no literal pin is possible).
 """
 
 import numpy as np

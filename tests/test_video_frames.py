@@ -212,6 +212,57 @@ def test_pyav_fallback_with_stub(monkeypatch, tmp_path):
         video_mod.read_video_frames(str(vid))
 
 
+def test_video_decoder_dispatch_order(monkeypatch, tmp_path):
+    """read_video_frames dispatch order with a SYNTHESIZED AVI: (1) an MJPEG AVI decodes
+    in-process even when `av` is importable and ffmpeg is absent (never pays an external
+    decode for our own container); (2) a non-MJPEG file on the same host falls through to
+    PyAV (the reference's own path, feature_utils.py:20-61)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from foley_tpu.io.avi import mux_frames_audio_avi
+    from foley_tpu.pipeline import video as video_mod
+
+    frames = np.zeros((4, 16, 16, 3), np.uint8)
+    frames[:, :, :, 0] = 200  # flat red: JPEG round-trips near-exactly
+    avi = str(tmp_path / "clip.avi")
+    mux_frames_audio_avi(frames, 8.0, np.zeros(1000, np.float32), 8000, avi)
+
+    pyav_called = {"n": 0}
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        streams = types.SimpleNamespace(video=[types.SimpleNamespace(average_rate=8.0)])
+
+        def decode(self, stream):
+            pyav_called["n"] += 1
+            return (types.SimpleNamespace(to_ndarray=lambda format, i=i: frames[i])
+                    for i in range(len(frames)))
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda path: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    monkeypatch.setattr(video_mod.shutil, "which", lambda name: None)  # no ffmpeg
+
+    got, fps = video_mod.read_video_frames(avi)
+    assert got.shape == (4, 16, 16, 3) and fps == 8.0
+    assert pyav_called["n"] == 0  # our own container never leaves the process
+    assert np.abs(got[0, :, :, 0] * 255.0 - 200).max() < 6  # actually decoded the MJPEG
+
+    # a non-MJPEG file on the same host dispatches to PyAV
+    other = tmp_path / "clip.mp4"
+    other.write_bytes(b"\x00" * 64)
+    got2, fps2 = video_mod.read_video_frames(str(other))
+    assert pyav_called["n"] == 1 and got2.shape == (4, 16, 16, 3) and fps2 == 8.0
+
+
 # ---------------------------------------------------------------------------------
 # AVI muxer (io/avi.py) — the no-ffmpeg merge_audio_video fallback for frames dirs
 # ---------------------------------------------------------------------------------

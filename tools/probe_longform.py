@@ -36,11 +36,16 @@ def main():
     from foley_tpu.pipeline.generate import ModelBundle, generate_audio
     from foley_tpu.pipeline.longform import generate_audio_long
 
+    from foley_tpu.core.params import perturb_zero_leaves
+
     cfg = get_config("xxl")
     fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
     dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
     bundle = ModelBundle(
-        mmdit_params=fm["params"], dac_params=dac_params, pipeline_cfg=cfg,
+        # perturbed zero-init leaves: the denoiser emits real velocity, so this run also
+        # exercises the windowed stitch numerically (not just its compute schedule)
+        mmdit_params=perturb_zero_leaves(fm["params"], jax.random.PRNGKey(7)),
+        dac_params=dac_params, pipeline_cfg=cfg,
         compute_dtype=jnp.bfloat16,
     )
     text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
@@ -72,7 +77,7 @@ def main():
             walls.append(time.perf_counter() - t0)
         wall = sorted(walls)[len(walls) // 2]
         a = r.audio_batch
-        print(json.dumps({
+        rec = {
             "measure": f"longform_{int(dur)}s_xxl_bf16_50step_cfg"
                        + ("_windowed" if windowed else ""),
             "wall_s": round(wall, 2),
@@ -81,7 +86,16 @@ def main():
             "windows": int(r.timings.get("windows", 1)) if windowed else 1,
             "finite": bool(np.all(np.isfinite(a))),
             "peak": float(np.abs(a).max()),
-        }), flush=True)
+            "moved": bool(np.abs(a).max() > 0),  # perturbed model: non-trivial output
+        }
+        if windowed:
+            # design invariant: compiled denoise variants == distinct known_frames values
+            from foley_tpu.pipeline.longform import window_schedule
+
+            sched = window_schedule(cfg.latent_length(dur), cfg.latent_length(30.0),
+                                    cfg.latent_length(min(5.0, 30.0 / 4.0)))
+            rec["denoise_variants"] = len({k for _, k in sched})
+        print(json.dumps(rec), flush=True)
     return 0
 
 
