@@ -17,7 +17,8 @@ import sys
 import time
 
 
-def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
+def run_once(config_name: str, duration_s: float, steps: int, batch_size: int,
+             mode: str = "bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -32,9 +33,28 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int):
 
     cfg = get_config(config_name)
     foley_model = HunyuanModelLoader.init_random(config_name, "bf16", seed=0)
+    params = foley_model["params"]
+    foley_model["params"] = None
+    if mode == "fp8_e4m3fn":
+        # device-side pure cast: no host round-trip; transient peak bf16+fp8 ~14.5 GiB
+        # fits the 16 GiB chip, then the bf16 source is dropped
+        from foley_tpu.io.quantize import quantize_fp8
+
+        params, _, _ = quantize_fp8(params, "fp8_e4m3fn")
+    elif mode in ("int8", "int8_dynamic"):
+        from foley_tpu.io.quantize import quantize_int8
+
+        params, _, _ = quantize_int8(params, dynamic=(mode == "int8_dynamic"),
+                                     on_host=True, consume=True)
+    elif mode == "int4":
+        from foley_tpu.io.quantize import quantize_int4
+
+        params, _, _ = quantize_int4(params, consume=True)
+    elif mode != "bf16":
+        raise ValueError(f"unknown bench mode {mode!r}")
     dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
     bundle = ModelBundle(
-        mmdit_params=foley_model["params"],
+        mmdit_params=params,
         dac_params=dac_params,
         pipeline_cfg=cfg,
         compute_dtype=jnp.bfloat16,
@@ -99,6 +119,12 @@ def accelerator_reachable(timeout_s: int = 120, retry_budget_s: float = 1500.0) 
 
 def main():
     duration_s, steps = 5.0, 50
+    # --mode <bf16|fp8_e4m3fn|int8|int8_dynamic|int4>: measure a weight-quantized variant
+    # (fidelity per mode: ROADMAP round-4 quant table / tools/profile_quant.py). The
+    # headline stays bf16 = reference-equivalent numerics.
+    mode = "bf16"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
     if not accelerator_reachable():
         print(json.dumps({
             "metric": "audio_sec_per_sec_per_chip", "value": 0.0,
@@ -109,11 +135,13 @@ def main():
         return 1
     for config_name in ("xxl", "xl", "tiny"):
         try:
-            elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1)
+            elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1, mode=mode)
             audio_sec_per_sec = duration_s / elapsed
             target_rate = 2.5  # 5 s clip in <= 2 s (BASELINE.json north star)
+            suffix = "" if mode == "bf16" else f"_{mode}"
             print(json.dumps({
-                "metric": f"audio_sec_per_sec_per_chip_{config_name}_5s_50step_euler_cfg",
+                "metric": f"audio_sec_per_sec_per_chip_{config_name}_5s_50step_euler_cfg"
+                          f"{suffix}",
                 "value": round(audio_sec_per_sec, 4),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(audio_sec_per_sec / target_rate, 4),

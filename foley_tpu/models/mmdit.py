@@ -29,6 +29,7 @@ including the single-block fused-qkv ``(H D K)`` interleaving (``hifi_foley.py:3
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -520,6 +521,13 @@ def single_block_apply(
     return x
 
 
+#: Profiling-only knob (tools/profile_unroll.py): lax.scan unroll factor for the block
+#: stacks. >1 trades HLO size/compile time for eliminating the per-iteration weight-stack
+#: dynamic-slice copies (the op profile's 5.8% "data formatting"). Pre-hoist this was a
+#: wash (ROADMAP measured-and-closed); read at import, subprocess-scoped in the tool.
+_BLOCK_UNROLL = int(os.environ.get("FOLEY_TPU_BLOCK_UNROLL", "1"))
+
+
 def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
                prefetch_depth: int = 1, extra_xs=None):
     """Scan a block stack; a placement-split stack (``parallel/offload.py::
@@ -541,7 +549,9 @@ def _run_stack(stack, carry, make_body, remat: bool, offload_fetch: bool,
         body = make_body(fetch)
         if remat:
             body = jax.checkpoint(body)
-        carry, _ = jax.lax.scan(body, carry, part if extra_xs is None else (part,) + extra_xs)
+        carry, _ = jax.lax.scan(body, carry,
+                                part if extra_xs is None else (part,) + extra_xs,
+                                unroll=_BLOCK_UNROLL)
         return carry
 
     if is_split_stack(stack):

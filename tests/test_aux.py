@@ -352,3 +352,51 @@ def test_bench_probe_outage_vs_hard_failure(monkeypatch):
     monkeypatch.setattr(subprocess, "run", outage)
     assert bench.accelerator_reachable(timeout_s=1, retry_budget_s=300) is True
     assert calls["n"] == 3  # retried through the outage, succeeded when service returned
+
+
+def test_perturb_zero_leaves():
+    """perturb_zero_leaves replaces exactly the all-zero float leaves (the reference's
+    zero-init output layers), is deterministic, and leaves everything else bit-identical —
+    the guard that keeps fidelity/plumbing measurements non-vacuous (round-3 verdict)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.core.params import perturb_zero_leaves
+
+    params = {
+        "final": {"w": jnp.zeros((4, 3), jnp.bfloat16), "b": jnp.zeros((3,), jnp.float32)},
+        "live": {"w": jnp.ones((2, 2), jnp.float32)},
+        "ids": {"idx": jnp.zeros((5,), jnp.int32)},  # non-float zeros stay untouched
+    }
+    out = perturb_zero_leaves(params, jax.random.PRNGKey(0))
+    assert np.any(np.asarray(out["final"]["w"])) and out["final"]["w"].dtype == jnp.bfloat16
+    assert np.any(np.asarray(out["final"]["b"]))
+    assert np.abs(np.asarray(out["final"]["b"])).max() < 0.2  # small-scale perturbation
+    np.testing.assert_array_equal(np.asarray(out["live"]["w"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(out["ids"]["idx"]), np.zeros(5))
+    out2 = perturb_zero_leaves(params, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out["final"]["w"]), np.asarray(out2["final"]["w"]))
+    assert np.any(np.asarray(out["final"]["w"]) !=
+                  np.asarray(perturb_zero_leaves(params, jax.random.PRNGKey(1))["final"]["w"]))
+
+
+def test_bench_mode_plumbing():
+    """bench.py --mode variants build and run at tiny on CPU: quantized bundles flow
+    through the same generate_audio path as the headline bf16 measurement."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    for mode in ("bf16", "int4"):
+        elapsed, result = bench.run_once("tiny", 1.0, steps=2, batch_size=1, mode=mode)
+        assert elapsed > 0
+        assert result.audio_first.shape[-1] == 48000
+
+    try:
+        bench.run_once("tiny", 1.0, steps=2, batch_size=1, mode="bogus")
+    except ValueError as e:
+        assert "bogus" in str(e)
+    else:
+        raise AssertionError("unknown mode must raise")

@@ -22,6 +22,10 @@ def main():
     windowed = "--windowed" in argv
     if windowed:
         argv.remove("--windowed")
+    v2a = "--v2a" in argv  # windowed V2A: per-window slices of full-video features
+    if v2a:
+        argv.remove("--v2a")
+        windowed = True
     durations = [float(d) for d in argv] or ([90.0] if windowed else [30.0, 60.0])
     import jax
     import jax.numpy as jnp
@@ -55,10 +59,25 @@ def main():
             # the unbounded-duration path: 30 s windows, flow-match-inpainting stitch,
             # one chunked decode at the end (pipeline/longform.py). Memory stays bounded
             # by the window, so this runs at ANY duration on the 16 GiB chip.
+            clip_full = sync_full = None
+            if v2a:
+                # full-video conditioning features at the plan's snapped duration; each
+                # window slices its exact rows (full CFG compute — no T2A dedup)
+                from foley_tpu.pipeline.longform import plan_v2a_long
+
+                feat_dur, _, ov_s = plan_v2a_long(cfg, dur, window_s=30.0)
+                clip_len, sync_len = cfg.t2a_lengths(feat_dur)
+                rng = np.random.default_rng(5)
+                clip_full = jnp.asarray(
+                    rng.normal(size=(1, clip_len, cfg.model.clip_dim)), jnp.float32)
+                sync_full = jnp.asarray(
+                    rng.normal(size=(1, sync_len, cfg.model.sync_feat_dim)), jnp.float32)
+
             def once(seed):
                 return generate_audio_long(
                     bundle, text, text, dur, window_s=30.0, guidance_scale=4.5,
-                    num_inference_steps=50, batch_size=1, seed=seed)
+                    num_inference_steps=50, batch_size=1, seed=seed,
+                    clip_feat=clip_full, sync_feat=sync_full)
             n_warm = 1  # each extra run re-pays len(sched) full window denoises
         else:
             def once(seed):
@@ -79,7 +98,7 @@ def main():
         a = r.audio_batch
         rec = {
             "measure": f"longform_{int(dur)}s_xxl_bf16_50step_cfg"
-                       + ("_windowed" if windowed else ""),
+                       + ("_windowed" if windowed else "") + ("_v2a" if v2a else ""),
             "wall_s": round(wall, 2),
             "audio_sec_per_sec": round(dur / wall, 3),
             "first_call_s": round(compile_s, 1),
@@ -92,8 +111,11 @@ def main():
             # design invariant: compiled denoise variants == distinct known_frames values
             from foley_tpu.pipeline.longform import window_schedule
 
-            sched = window_schedule(cfg.latent_length(dur), cfg.latent_length(30.0),
-                                    cfg.latent_length(min(5.0, 30.0 / 4.0)))
+            if v2a:
+                total, ov = cfg.latent_length(feat_dur), cfg.latent_length(ov_s)
+            else:
+                total, ov = cfg.latent_length(dur), cfg.latent_length(min(5.0, 30.0 / 4.0))
+            sched = window_schedule(total, cfg.latent_length(30.0), ov)
             rec["denoise_variants"] = len({k for _, k in sched})
         print(json.dumps(rec), flush=True)
     return 0
