@@ -9,8 +9,11 @@ flow-match inpainting on the training interpolant ``(1-sigma)*known + sigma*nois
 (``sampling/denoise.py::denoise_latents(known_frames=...)``). The free region denoises
 conditioned on the clamped prefix through the MMDiT's full attention, so content continues
 across the seam; at sigma=0 the prefix equals the previous window's latents EXACTLY, so
-stitching is a pure concatenation in latent space (no audio-domain crossfade) followed by
-one chunked DAC decode over the full sequence.
+stitching is a pure concatenation in latent space (no audio-domain crossfade). Decode runs
+per finalized segment with a halo of true context (``_stream_segments``) — which bounds
+decode memory by the window, equals the one-shot full decode within fp-fusion noise, and
+makes the streaming API (``generate_audio_long_stream``) bitwise-identical to the batch
+path (``generate_audio_long``).
 
 Memory is bounded by the window length regardless of total duration; per-window compute
 reuses at most three compiled programs (first / interior / final window, which differ only
@@ -36,7 +39,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +179,79 @@ def generate_audio_long(
     window consumes its exact slice (see module doc for why slicing is exact)."""
     cfg = bundle.pipeline_cfg
     t0 = time.perf_counter()
+    prep = _prepare_long(
+        bundle, text_feat, uncond_text_feat, duration_s,
+        clip_feat=clip_feat, sync_feat=sync_feat, window_s=window_s,
+        overlap_s=overlap_s, batch_size=batch_size, seed=seed, attn_impl=attn_impl,
+        text_bucket=text_bucket, snap_to_window_grid=snap_to_window_grid,
+        use_cfg=guidance_scale > 1.0,
+    )
+    t1 = time.perf_counter()
+    # Decode through the SAME per-segment schedule as the streaming path, so streamed
+    # chunks concatenate to this function's output BITWISE (identical decode calls on
+    # identical inputs). Per-segment decode is also what bounds decode memory by the
+    # window rather than the total duration; within fp-fusion noise it equals the
+    # one-shot full decode (halo argument on _STREAM_HALO).
+    parts = [
+        ch.pcm16 if fetch_pcm16 else ch.audio[:, 0]
+        for ch in _stream_segments(
+            bundle, prep, duration_s=duration_s, guidance_scale=guidance_scale,
+            num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+        )
+    ]
+    t2 = time.perf_counter()
+
+    audio_np = np.concatenate(parts, axis=-1)
+    if fetch_pcm16:
+        audio_np = audio_np.astype(np.float32) / 32767.0
+    audio_np = audio_np[:, None, :]
+    requested_frames = cfg.latent_length(duration_s)  # grid snapping may have padded
+    return GenerationResult(
+        audio_first=audio_np[:1],
+        audio_batch=audio_np,
+        sample_rate=cfg.dac.sample_rate,
+        latents=(np.asarray(prep.stitched[:, :requested_frames])
+                 if return_latents else None),
+        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
+                 "windows": float(len(prep.sched))},
+    )
+
+
+class _LongPrep(NamedTuple):
+    """Window plan + shared per-run state for the long-form denoise loop."""
+
+    total_frames: int
+    win_frames: int
+    sched: List[Tuple[int, int]]
+    noise: jnp.ndarray
+    stitched: np.ndarray  # mutated in place by _run_windows
+    window_features: object  # callable: start_frame -> CFG feature pack
+    features: object  # T2A: precomputed once (start-invariant); V2A: None
+    attn_impl: str
+    use_cfg: bool
+    v2a: bool
+
+
+def _prepare_long(
+    bundle,
+    text_feat,
+    uncond_text_feat,
+    duration_s: float,
+    *,
+    clip_feat,
+    sync_feat,
+    window_s: float,
+    overlap_s: Optional[float],
+    batch_size: int,
+    seed: int,
+    attn_impl: str,
+    text_bucket: Optional[int],
+    snap_to_window_grid: bool,
+    use_cfg: bool,
+) -> _LongPrep:
+    """The window plan, conditioning closures, and buffers shared by the batch
+    (``generate_audio_long``) and streaming (``generate_audio_long_stream``) paths."""
+    cfg = bundle.pipeline_cfg
     v2a = clip_feat is not None or sync_feat is not None
     if v2a and (clip_feat is None or sync_feat is None):
         raise ValueError("V2A long-form needs both clip_feat and sync_feat")
@@ -207,8 +283,6 @@ def generate_audio_long(
     if len(sched) == 1:
         win_frames = total_frames  # single window: exactly generate_audio's geometry
     win_duration = win_frames / cfg.model.audio_frame_rate
-
-    use_cfg = guidance_scale > 1.0
     bucket = text_bucket or pick_text_bucket(int(text_feat.shape[1]))
 
     def window_features(start: int):
@@ -236,56 +310,166 @@ def generate_audio_long(
 
     stitched = np.zeros((batch_size, max(total_frames, win_frames),
                          cfg.model.audio_vae_latent_dim), np.float32)
-    t1 = time.perf_counter()
-    for w_i, (start, known) in enumerate(sched):
-        win_noise = noise[:, start : start + win_frames]
+    return _LongPrep(
+        total_frames=total_frames, win_frames=win_frames, sched=sched, noise=noise,
+        stitched=stitched, window_features=window_features, features=features,
+        attn_impl=attn_impl, use_cfg=use_cfg, v2a=v2a,
+    )
+
+
+def _run_windows(
+    bundle, prep: _LongPrep, *, guidance_scale: float, num_inference_steps: int
+) -> Iterator[Tuple[int, int]]:
+    """Denoise the window schedule in order, writing each window into ``prep.stitched``;
+    yields ``(window_index, start_frame)`` after each window's latents are FINAL (every
+    later window clamps its overlap to these exact values, so they never change)."""
+    cfg = bundle.pipeline_cfg
+    for w_i, (start, known) in enumerate(prep.sched):
+        win_noise = prep.noise[:, start : start + prep.win_frames]
         if known:
-            known_lat = jnp.asarray(stitched[:, start : start + known])
+            known_lat = jnp.asarray(prep.stitched[:, start : start + known])
         else:
             known_lat = None
         logger.info(
-            f"long-form window {w_i + 1}/{len(sched)}: frames [{start}, {start + win_frames})"
+            f"long-form window {w_i + 1}/{len(prep.sched)}: "
+            f"frames [{start}, {start + prep.win_frames})"
             + (f", {known} clamped" if known else "")
         )
         win_out = denoise_latents(
             bundle.mmdit_params, win_noise,
-            window_features(start) if v2a else features, jnp.float32(guidance_scale),
+            prep.window_features(start) if prep.v2a else prep.features,
+            jnp.float32(guidance_scale),
             known_lat,
             cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
-            solver="euler", use_cfg=use_cfg, attn_impl=attn_impl,
+            solver="euler", use_cfg=prep.use_cfg, attn_impl=prep.attn_impl,
             compute_dtype=bundle.compute_dtype,
             offload_fetch=bundle.offload_fetch, offload_prefetch=bundle.offload_prefetch,
             progress=bundle.progress,
             # under CFG the T2A halves share visual rows; V2A halves differ (empty vs real)
-            visual_rows_shared=use_cfg and not v2a,
+            visual_rows_shared=prep.use_cfg and not prep.v2a,
             known_frames=known,
         )
         # the clamped prefix equals the previous tail exactly; copying the whole window is
         # therefore seamless (asserted in tests at fp32 equality)
-        stitched[:, start : start + win_frames] = np.asarray(win_out)
+        prep.stitched[:, start : start + prep.win_frames] = np.asarray(win_out)
+        yield w_i, start
 
-    final_latents = jnp.asarray(stitched[:, :total_frames])
-    audio = _decode_long(
-        bundle.dac_params, final_latents, cfg.dac, bundle.latent_stats,
-        fetch_pcm16=fetch_pcm16,
-    )
-    audio = jax.block_until_ready(audio)
-    t2 = time.perf_counter()
 
-    n_samples = int(duration_s * cfg.dac.sample_rate)
-    audio_np = np.asarray(audio)[:, :n_samples, 0]
-    if fetch_pcm16:
-        audio_np = audio_np.astype(np.float32) / 32767.0
-    audio_np = audio_np[:, None, :]
-    requested_frames = cfg.latent_length(duration_s)  # grid snapping may have padded
-    return GenerationResult(
-        audio_first=audio_np[:1],
-        audio_batch=audio_np,
-        sample_rate=cfg.dac.sample_rate,
-        latents=np.asarray(final_latents)[:, :requested_frames] if return_latents else None,
-        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
-                 "windows": float(len(sched))},
+class StreamChunk(NamedTuple):
+    """One finalized segment of a streaming long-form generation (contiguous samples;
+    concatenating all chunks equals ``generate_audio_long``'s output — tested)."""
+
+    start_sample: int  # global sample offset of this chunk
+    audio: np.ndarray  # [B, 1, S] float32 in [-1, 1]
+    pcm16: Optional[np.ndarray]  # [B, S] int16 (present when fetch_pcm16; audio = pcm/32767)
+    sample_rate: int
+    window_index: int
+    n_windows: int
+    final: bool
+
+
+#: Latent-frame halo on each side of a streamed decode segment — same margin as the
+#: chunked decoder's overlap (``dac_vae._DECODE_OVERLAP`` = 32 >> the DAC decoder's
+#: ~12-frame receptive field), so every emitted sample sees full true context and the
+#: streamed audio matches the one-shot decode (test_pipeline::test_long_stream_*).
+_STREAM_HALO = 32
+
+
+def generate_audio_long_stream(
+    bundle: ModelBundle,
+    text_feat: jnp.ndarray,
+    uncond_text_feat: jnp.ndarray,
+    duration_s: float,
+    *,
+    clip_feat: Optional[jnp.ndarray] = None,
+    sync_feat: Optional[jnp.ndarray] = None,
+    window_s: float = 30.0,
+    overlap_s: Optional[float] = None,
+    guidance_scale: float = 4.5,
+    num_inference_steps: int = 50,
+    batch_size: int = 1,
+    seed: int = 0,
+    attn_impl: str = "auto",
+    text_bucket: Optional[int] = None,
+    fetch_pcm16: bool = True,
+    snap_to_window_grid: bool = False,
+) -> Iterator[StreamChunk]:
+    """``generate_audio_long`` as a stream: yield each window's finalized audio as soon
+    as it is denoised, instead of decoding once at the end.
+
+    Time-to-first-audio for an N-window request drops from the full wall to ~one window
+    (the reference has no analog — its 60 s cap makes everything single-shot,
+    ``nodes.py:219``). Works because a window's latents are FINAL the moment it is
+    denoised: the next window's inpainting clamp reproduces the overlap exactly
+    (sigma=0 endpoint), so nothing emitted is ever revised. Each chunk decodes its
+    segment with a ``_STREAM_HALO``-frame halo of true context on both interior sides
+    (the same exactness argument as ``dac_vae.decode_chunked``); the held-back halo
+    samples are emitted with the NEXT chunk once their right context exists. Chunk
+    boundaries are sample-contiguous; the concatenation equals the batch path's output.
+    Denoising stops early once the requested duration is fully emitted (grid snapping
+    may schedule padding windows past it that nobody would hear)."""
+    prep = _prepare_long(
+        bundle, text_feat, uncond_text_feat, duration_s,
+        clip_feat=clip_feat, sync_feat=sync_feat, window_s=window_s,
+        overlap_s=overlap_s, batch_size=batch_size, seed=seed, attn_impl=attn_impl,
+        text_bucket=text_bucket, snap_to_window_grid=snap_to_window_grid,
+        use_cfg=guidance_scale > 1.0,
     )
+    yield from _stream_segments(
+        bundle, prep, duration_s=duration_s, guidance_scale=guidance_scale,
+        num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+    )
+
+
+def _stream_segments(
+    bundle, prep: _LongPrep, *, duration_s: float, guidance_scale: float,
+    num_inference_steps: int, fetch_pcm16: bool
+) -> Iterator[StreamChunk]:
+    """Denoise the window schedule and decode/emit finalized segments as they appear —
+    the ONE segmentation both ``generate_audio_long`` (concatenates) and
+    ``generate_audio_long_stream`` (yields) consume, which is what makes the two paths
+    bitwise-identical: same decode programs on same inputs. (A naive "stream decodes
+    per window, batch decodes once at the end" split is NOT bitwise stable: XLA picks
+    different conv algorithms at different input lengths, and the ~1e-5 prefix
+    differences amplify through the decoder stack — catastrophically so under the
+    random-init test decoders.)"""
+    cfg = bundle.pipeline_cfg
+    hop = cfg.dac.hop_length
+    sr = cfg.dac.sample_rate
+    n_total = int(duration_s * sr)
+    n_windows = len(prep.sched)
+    prev_cut = 0
+    for w_i, start in _run_windows(bundle, prep, guidance_scale=guidance_scale,
+                                   num_inference_steps=num_inference_steps):
+        avail = start + prep.win_frames  # latent frames finalized so far
+        last = w_i == n_windows - 1
+        # hold back a halo before the emit cut so the next chunk can decode it with
+        # true right context; the final window emits through the true sequence edge
+        # (max: degenerate sub-halo windows emit an empty chunk rather than go backwards)
+        cut = prep.total_frames if last else max(avail - _STREAM_HALO, prev_cut)
+        seg_lo = max(0, prev_cut - _STREAM_HALO)
+        latents_seg = jnp.asarray(prep.stitched[:, seg_lo:avail])
+        audio_seg = _decode_long(
+            bundle.dac_params, latents_seg, cfg.dac, bundle.latent_stats,
+            fetch_pcm16=fetch_pcm16,
+        )
+        o = (prev_cut - seg_lo) * hop
+        n_keep = min(cut * hop, n_total) - prev_cut * hop
+        raw = np.asarray(audio_seg)[:, o : o + n_keep, 0]
+        if fetch_pcm16:
+            pcm16 = raw
+            audio = (raw.astype(np.float32) / 32767.0)[:, None, :]
+        else:
+            pcm16 = None
+            audio = raw[:, None, :]
+        final = cut * hop >= n_total
+        yield StreamChunk(
+            start_sample=prev_cut * hop, audio=audio, pcm16=pcm16, sample_rate=sr,
+            window_index=w_i, n_windows=n_windows, final=final,
+        )
+        if final:
+            return  # remaining schedule (grid-snap padding) is past the requested length
+        prev_cut = cut
 
 
 @partial(jax.jit, static_argnames=("dac_cfg", "chunk_frames", "output_pcm16"))

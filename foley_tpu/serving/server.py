@@ -313,6 +313,79 @@ class FoleyService:
             )
         return out
 
+    def generate_stream(self, request: Dict):
+        """Streaming variant of ``generate``: yields a header dict, then one dict per
+        finalized audio chunk — ``{"pcm": <raw little-endian int16 mono PCM bytes>,
+        "start_sample": int, "final": bool}``.
+
+        Long-form (over-bucket) requests emit one chunk per window the moment it is
+        denoised (``pipeline/longform.py::generate_audio_long_stream``):
+        time-to-first-audio is ~one window instead of the whole request. In-bucket
+        durations emit a single chunk through the same program ``generate`` uses.
+        Streams the FIRST batch row; bypasses micro-batching (the stream holds the
+        generation lock until done)."""
+        import jax.numpy as jnp
+
+        if request.get("mux_video"):
+            raise ValueError("mux_video is not supported with response=pcm16_stream")
+        prompt = request.get("prompt", "")
+        neg = request.get("negative_prompt", "noisy, harsh")
+        duration = float(request.get("duration", 5.0))
+        long_form = duration > self.durations[-1]
+        if long_form and request.get("sampler", "euler") != "euler":
+            raise ValueError("long-form generation supports the euler sampler only")
+        bucket_duration = duration if long_form else self._snap_duration(duration)
+        if long_form and ("frames_b64" in request or "frames_path" in request):
+            from foley_tpu.pipeline.longform import plan_v2a_long
+
+            bucket_duration, _, _ = plan_v2a_long(
+                self.bundle.pipeline_cfg, duration, window_s=float(self.durations[-1])
+            )
+        steps = int(request.get("steps", self.default_steps))
+        batch = int(request.get("batch_size", 1))
+        clip_feat, sync_feat, _ = self._visual_features(request, bucket_duration)
+        if self.text_encoder is not None:
+            from foley_tpu.models import clap as clap_mod
+
+            feats = clap_mod.encode_text(self.text_encoder, [neg, prompt])
+            text, uncond = feats[1:2], feats[0:1]
+        else:
+            tb = self.text_buckets[0]
+            text = uncond = jnp.zeros(
+                (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
+            )
+        sr = self.bundle.pipeline_cfg.dac.sample_rate
+        n_total = int(duration * sr)
+        yield {"header": {"sample_rate": sr, "channels": 1, "total_samples": n_total}}
+        common = dict(
+            guidance_scale=float(request.get("cfg_scale", 4.5)),
+            num_inference_steps=steps, batch_size=batch,
+            seed=int(request.get("seed", 0)), text_bucket=self.text_buckets[0],
+        )
+        with self._lock, self._mesh_ctx():
+            if long_form:
+                from foley_tpu.pipeline.longform import generate_audio_long_stream
+
+                for ch in generate_audio_long_stream(
+                    self.bundle, text, uncond, duration,
+                    clip_feat=clip_feat, sync_feat=sync_feat,
+                    window_s=float(self.durations[-1]),
+                    snap_to_window_grid=True, **common,
+                ):
+                    yield {"pcm": ch.pcm16[0].tobytes(),
+                           "start_sample": ch.start_sample, "final": ch.final}
+            else:
+                result = generate_audio(
+                    self.bundle, text, uncond, bucket_duration,
+                    clip_feat=clip_feat, sync_feat=sync_feat,
+                    sampler=request.get("sampler", "euler"), **common,
+                )
+                from foley_tpu.io.native import float_to_pcm16
+
+                w = np.asarray(result.audio_first)[0, 0, :n_total]
+                yield {"pcm": float_to_pcm16(w).tobytes(),
+                       "start_sample": 0, "final": True}
+
 
 class BatchingFoleyService(FoleyService):
     """Continuous-batching service: concurrent requests with matching shape buckets
@@ -553,10 +626,34 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
             # by the time a client has its answer, /metrics already reflects it
             t0 = service._begin_request()
             ok = False
+            streamed = False  # True once stream headers are on the wire (no _send after)
             body, ctype = b"", "application/json"
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 request = json.loads(self.rfile.read(length) or b"{}")
+                if request.get("response") == "pcm16_stream":
+                    # Raw int16 mono PCM streamed chunk-by-chunk as windows finalize
+                    # (long-form: time-to-first-audio ~= one window). The first
+                    # generator item (the header) runs all request validation, so
+                    # errors before it still produce a clean JSON 500.
+                    gen = service.generate_stream(request)
+                    header = next(gen)["header"]
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("X-Sample-Rate", str(header["sample_rate"]))
+                    self.send_header("X-Channels", str(header["channels"]))
+                    self.send_header("X-Total-Samples", str(header["total_samples"]))
+                    # body is delimited by connection close (works for HTTP/1.0 clients;
+                    # no Content-Length is known up front)
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    streamed = True
+                    for chunk in gen:
+                        self.wfile.write(chunk["pcm"])
+                        self.wfile.flush()
+                    ok = True
+                    self.close_connection = True
+                    return
                 out = service.generate(request)
                 wav = _wav_bytes(out["waveform"], out["sample_rate"])
                 mode = request.get("response", "wav")
@@ -584,6 +681,12 @@ def create_server(service: FoleyService, host: str = "127.0.0.1", port: int = 83
                 body = json.dumps({"error": str(e)}).encode()
             finally:
                 service._end_request(t0, ok)
+            if streamed:
+                # headers already on the wire: a mid-stream failure can only be signaled
+                # by the early connection close (the client sees fewer than
+                # X-Total-Samples samples); never append a JSON body to a PCM stream
+                self.close_connection = True
+                return
             self._send(200 if ok else 500, body, ctype=ctype)
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -598,3 +598,67 @@ def test_v2a_window_conditioning_is_per_window(live_bundle):
                                   res_b.latents[:, : start2 + ov])
     # window 2's free region saw different conditioning rows: must differ
     assert np.abs(res_a.latents[:, start2 + ov :] - res_b.latents[:, start2 + ov :]).max() > 1e-6
+
+
+def test_long_stream_matches_batch(live_bundle):
+    """Streaming long-form: chunks are sample-contiguous, exactly cover the requested
+    duration, only the last is final, and their concatenation equals the batch path's
+    audio (windows are final when emitted; the halo'd per-segment decode reproduces the
+    one-shot decode within fp fusion noise, i.e. <= 1 LSB after int16 quantization)."""
+    from foley_tpu.pipeline.longform import generate_audio_long, generate_audio_long_stream
+
+    text, uncond = _text()
+    kwargs = dict(window_s=2.0, overlap_s=0.5, guidance_scale=4.5, num_inference_steps=4,
+                  batch_size=1, seed=11, text_bucket=16)
+    batch = generate_audio_long(live_bundle, text, uncond, 3.0, **kwargs)
+    chunks = list(generate_audio_long_stream(live_bundle, text, uncond, 3.0, **kwargs))
+    sr = CFG.dac.sample_rate
+    assert len(chunks) == 2  # one per window
+    assert chunks[-1].final and not any(c.final for c in chunks[:-1])
+    assert [c.n_windows for c in chunks] == [2, 2]
+    pos = 0
+    for c in chunks:
+        assert c.start_sample == pos
+        assert c.audio.shape[0] == 1 and c.audio.shape[1] == 1
+        pos += c.audio.shape[-1]
+    assert pos == 3 * sr
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+    # pcm16 is the exact integer form of the float audio
+    for c in chunks:
+        np.testing.assert_array_equal(c.audio[:, 0], c.pcm16.astype(np.float32) / 32767.0)
+
+    # single-window degenerate case: one final chunk, equal to the batch path
+    one = list(generate_audio_long_stream(live_bundle, text, uncond, 1.0, **kwargs))
+    assert len(one) == 1 and one[0].final and one[0].audio.shape == (1, 1, sr)
+    batch1 = generate_audio_long(live_bundle, text, uncond, 1.0, **kwargs)
+    assert np.abs(one[0].audio - batch1.audio_batch).max() <= 1.5 / 32767.0
+
+
+def test_long_stream_v2a_matches_batch(live_bundle):
+    """V2A streaming consumes the same per-window feature slices as the batch path and
+    produces the same audio."""
+    from foley_tpu.pipeline.longform import (
+        generate_audio_long,
+        generate_audio_long_stream,
+        plan_v2a_long,
+    )
+
+    text, uncond = _text()
+    feat_dur, _, _ = plan_v2a_long(CFG, 20.0, window_s=16.0, overlap_s=4.0)
+    clip_len, sync_len = CFG.t2a_lengths(feat_dur)
+    rng = np.random.default_rng(7)
+    clip_full = jnp.asarray(rng.normal(size=(1, clip_len, CFG.model.clip_dim)), jnp.float32)
+    sync_full = jnp.asarray(rng.normal(size=(1, sync_len, CFG.model.sync_feat_dim)),
+                            jnp.float32)
+    kwargs = dict(clip_feat=clip_full, sync_feat=sync_full, window_s=16.0, overlap_s=4.0,
+                  guidance_scale=4.5, num_inference_steps=2, batch_size=1, seed=3,
+                  text_bucket=16)
+    batch = generate_audio_long(live_bundle, text, uncond, 20.0, **kwargs)
+    chunks = list(generate_audio_long_stream(live_bundle, text, uncond, 20.0, **kwargs))
+    sr = CFG.dac.sample_rate
+    assert sum(c.audio.shape[-1] for c in chunks) == 20 * sr
+    assert all(a.start_sample + a.audio.shape[-1] == b.start_sample
+               for a, b in zip(chunks, chunks[1:]))
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0

@@ -470,3 +470,46 @@ def test_continuous_batching_overlaps_groups(monkeypatch):
         outs = [f.result(timeout=300) for f in futs]
     for out in outs:
         assert out["waveform"].shape == (1, 48000)
+
+
+def test_generate_pcm16_stream(server):
+    """response=pcm16_stream: raw int16 mono PCM with sample-accounting headers; the
+    long-form (over-bucket) stream equals the WAV route's payload within 1 LSB (the
+    stream decodes per window with a halo; the WAV route decodes once at the end)."""
+    def post(body, timeout=600):
+        return urllib.request.urlopen(
+            urllib.request.Request(server + "/generate", data=json.dumps(body).encode()),
+            timeout=timeout,
+        )
+
+    req = {"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3,
+           "response": "pcm16_stream"}
+    with post(req) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        assert r.headers["X-Sample-Rate"] == "48000"
+        assert r.headers["X-Channels"] == "1"
+        total = int(r.headers["X-Total-Samples"])
+        body = r.read()  # connection close delimits the stream
+    assert total == int(2.5 * 48000)
+    pcm = np.frombuffer(body, "<i2")
+    assert pcm.shape[0] == total
+
+    with post({**req, "response": "wav"}) as r:
+        wav_body = r.read()
+    with wave.open(io.BytesIO(wav_body)) as f:
+        assert f.getframerate() == 48000 and f.getnchannels() == 1
+        wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert wav_pcm.shape == pcm.shape
+    assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
+
+    # in-bucket durations stream a single chunk through the same program as /generate
+    with post({"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 1,
+               "response": "pcm16_stream"}) as r:
+        assert int(r.headers["X-Total-Samples"]) == 48000
+        assert len(np.frombuffer(r.read(), "<i2")) == 48000
+
+    # request validation failures surface as clean JSON 500s (header runs them first)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post({**req, "mux_video": True})
+    assert exc.value.code == 500
+    assert "mux_video" in json.loads(exc.value.read())["error"]
