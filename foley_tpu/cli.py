@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "of host-seconds per clip on weak hosts)")
     p.add_argument("--strength", type=float, default=0.6,
                    help="Edit strength in (0, 1]: fraction of the schedule to re-run")
+    p.add_argument("--continue_audio", type=str, default=None, metavar="WAV",
+                   help="Continue an existing 48 kHz WAV by --duration seconds toward the "
+                        "prompt (the encoded tail is clamped as the first window's known "
+                        "prefix — flow-match inpainting); writes the NEW audio to --output")
+    p.add_argument("--context_s", type=float, default=4.0,
+                   help="--continue_audio: seconds of the source's tail to condition on")
     p.add_argument("--progress", action="store_true",
                    help="log a tick per denoise step (the reference's ProgressBar UX); "
                         "off by default — the loop is one jitted scan and ticks add a "
@@ -170,6 +176,9 @@ def main(argv=None) -> int:
             if key in dependencies:
                 dependencies[key].preprocess = args.v2a_preprocess
 
+        if args.continue_audio:
+            return _continue_audio(args, foley_model, dependencies, logger)
+
         if args.audio_input:
             return _edit_audio(args, foley_model, dependencies, logger)
 
@@ -275,6 +284,53 @@ def _edit_audio(args, foley_model, dependencies, logger) -> int:
     )
     write_wav(args.output, result.audio_first[0], result.sample_rate)
     logger.info(f"edited {args.audio_input} -> {args.output} (strength {args.strength})")
+    return 0
+
+
+def _continue_audio(args, foley_model, dependencies, logger) -> int:
+    """Continue an existing WAV by --duration seconds (pipeline/longform.py)."""
+    import wave as wave_mod
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.io.audio import write_wav
+    from foley_tpu.pipeline.generate import ModelBundle
+    from foley_tpu.pipeline.longform import continue_audio
+
+    with wave_mod.open(args.continue_audio) as f:
+        assert f.getframerate() == 48000, "continuation input must be 48 kHz"
+        pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2").astype(np.float32) / 32767.0
+        wav = pcm.reshape(-1, f.getnchannels()).mean(axis=1)  # mono mixdown
+
+    cfg = foley_model["cfg"]
+    bundle = ModelBundle(
+        mmdit_params=foley_model["params"],
+        dac_params=dependencies["dac_params"],
+        pipeline_cfg=cfg,
+        compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+        latent_stats=foley_model.get("latent_stats"),
+    )
+    if "clap" in dependencies:
+        from foley_tpu.models import clap as clap_mod
+
+        feats = clap_mod.encode_text(dependencies["clap"], [args.neg_prompt, args.single_prompt])
+        text, uncond = feats[1:2], feats[0:1]
+    else:
+        text = uncond = jnp.zeros((1, cfg.model.text_length, cfg.model.condition_dim), jnp.float32)
+        logger.warning("CLAP unavailable; using zero text features")
+
+    result = continue_audio(
+        bundle, wav, text, uncond, args.duration,
+        context_s=args.context_s, guidance_scale=args.guidance_scale,
+        num_inference_steps=args.num_inference_steps, seed=args.seed,
+        batch_size=args.batch_size,
+    )
+    write_wav(args.output, result.audio_first[0], result.sample_rate)
+    logger.info(
+        f"continued {args.continue_audio} by {args.duration:.2f}s "
+        f"(context {args.context_s}s) -> {args.output}"
+    )
     return 0
 
 

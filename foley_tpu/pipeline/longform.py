@@ -59,23 +59,30 @@ logger = get_logger()
 
 
 def window_schedule(
-    total_frames: int, win_frames: int, ov_frames: int
+    total_frames: int, win_frames: int, ov_frames: int, initial_covered: int = 0
 ) -> List[Tuple[int, int]]:
     """[(start_frame, known_frames), ...] covering [0, total_frames) with ``win_frames``
     windows overlapping by >= ``ov_frames``.
 
     Interior windows advance by ``win - ov``; the final window is right-aligned to end
     exactly at ``total_frames`` (its overlap with already-generated content grows as
-    needed), so only <= 3 distinct ``known_frames`` values (= compiled variants) occur."""
+    needed), so only <= 3 distinct ``known_frames`` values (= compiled variants) occur.
+
+    ``initial_covered`` > 0 marks frames [0, initial_covered) as already known before the
+    first window (audio continuation: the encoded context) — window 0 clamps them exactly
+    like an interior window clamps the previous window's tail. Must be < win_frames."""
     if ov_frames >= win_frames:
         raise ValueError(f"overlap ({ov_frames}) must be smaller than window ({win_frames})")
+    if not 0 <= initial_covered < win_frames:
+        raise ValueError(
+            f"initial_covered ({initial_covered}) must be < window ({win_frames})")
     if win_frames >= total_frames:
-        return [(0, 0)]
+        return [(0, initial_covered)]
     step = win_frames - ov_frames
     starts = list(range(0, total_frames - win_frames, step))
     starts.append(total_frames - win_frames)
     sched: List[Tuple[int, int]] = []
-    prev_end = 0
+    prev_end = initial_covered
     for s in starts:
         if s + win_frames <= prev_end:
             continue  # right-aligned final window already covered by the previous one
@@ -248,9 +255,14 @@ def _prepare_long(
     text_bucket: Optional[int],
     snap_to_window_grid: bool,
     use_cfg: bool,
+    known_prefix: Optional[np.ndarray] = None,
 ) -> _LongPrep:
     """The window plan, conditioning closures, and buffers shared by the batch
-    (``generate_audio_long``) and streaming (``generate_audio_long_stream``) paths."""
+    (``generate_audio_long``) and streaming (``generate_audio_long_stream``) paths.
+
+    ``known_prefix`` ([B, ctx_frames, latent_dim], standardized space): frames already
+    known before generation starts (audio continuation) — seeded into the stitch buffer
+    and clamped by window 0 exactly like an interior window clamps its overlap."""
     cfg = bundle.pipeline_cfg
     v2a = clip_feat is not None or sync_feat is not None
     if v2a and (clip_feat is None or sync_feat is None):
@@ -274,7 +286,8 @@ def _prepare_long(
         # compiled programs instead of compiling a fresh final-window/decode shape each.
         step = win_frames - ov_frames
         total_frames = win_frames + -(-(total_frames - win_frames) // step) * step
-    sched = window_schedule(total_frames, win_frames, ov_frames)
+    ctx_frames = 0 if known_prefix is None else int(known_prefix.shape[1])
+    sched = window_schedule(total_frames, win_frames, ov_frames, initial_covered=ctx_frames)
     if v2a and len(sched) > 1:
         # Validate the LAST window's slice bounds up front: undersized features (sized for
         # the requested rather than the plan's snapped duration) must fail NOW, not after
@@ -310,6 +323,11 @@ def _prepare_long(
 
     stitched = np.zeros((batch_size, max(total_frames, win_frames),
                          cfg.model.audio_vae_latent_dim), np.float32)
+    if ctx_frames:
+        prefix = np.asarray(known_prefix, np.float32)
+        if prefix.shape[0] == 1 and batch_size > 1:
+            prefix = np.repeat(prefix, batch_size, axis=0)
+        stitched[:, :ctx_frames] = prefix
     return _LongPrep(
         total_frames=total_frames, win_frames=win_frames, sched=sched, noise=noise,
         stitched=stitched, window_features=window_features, features=features,
@@ -421,9 +439,110 @@ def generate_audio_long_stream(
     )
 
 
+def continue_audio(
+    bundle: ModelBundle,
+    audio: np.ndarray,
+    text_feat: jnp.ndarray,
+    uncond_text_feat: jnp.ndarray,
+    extra_duration_s: float,
+    *,
+    context_s: float = 4.0,
+    window_s: float = 30.0,
+    overlap_s: Optional[float] = None,
+    guidance_scale: float = 4.5,
+    num_inference_steps: int = 50,
+    batch_size: int = 1,
+    seed: int = 0,
+    attn_impl: str = "auto",
+    text_bucket: Optional[int] = None,
+    return_latents: bool = False,
+    fetch_pcm16: bool = True,
+) -> GenerationResult:
+    """Generate ``extra_duration_s`` seconds CONTINUING an existing waveform.
+
+    The last ``context_s`` seconds of ``audio`` ([T] or [B, T] float at the DAC sample
+    rate) are encoded to latents (posterior mode — deterministic; reference encoder
+    ``dac.py:236-278``) and clamped as window 0's known prefix — the same flow-match
+    inpainting mechanism long-form windows use on each other's tails, so the new audio
+    attends to the real context and continues it. The returned audio is the NEW part
+    only (``extra_duration_s`` long); its first samples decode with the context latents
+    as left halo, so the waveform is continuous with the context's DAC *reconstruction*
+    (a VAE re-encode — splice vs the original source at the seam is within the codec's
+    reconstruction error, not bit-exact). T2A conditioning only (the learned empty
+    visual sequences); composes with SDEdit (``pipeline/edit.py``) which re-prompts
+    EXISTING audio instead of extending it. Beyond-reference capability: the reference
+    has no continuation path at all."""
+    cfg = bundle.pipeline_cfg
+    sr, hop = cfg.dac.sample_rate, cfg.dac.hop_length
+    rate = cfg.model.audio_frame_rate
+    t0 = time.perf_counter()
+
+    wav = np.asarray(audio, np.float32)
+    if wav.ndim == 1:
+        wav = wav[None]
+    if wav.ndim == 3:  # [B, C, T] AUDIO-dict style: mono expected
+        wav = wav[:, 0]
+    ctx_samples = (min(wav.shape[1], int(context_s * sr)) // hop) * hop
+    if ctx_samples < hop:
+        raise ValueError(
+            f"context audio must cover at least one latent frame ({hop} samples at "
+            f"{sr} Hz); got {wav.shape[1]} samples with context_s={context_s}")
+    tail = wav[:, wav.shape[1] - ctx_samples:]
+    ctx_frames = ctx_samples // hop
+    win_frames = cfg.latent_length(window_s)
+    if ctx_frames >= win_frames:
+        raise ValueError(
+            f"context ({ctx_frames} latent frames) must be shorter than the window "
+            f"({win_frames}); lower context_s or raise window_s")
+
+    from foley_tpu.pipeline.edit import _encode_jit  # shared cached jit wrapper
+
+    posterior = _encode_jit(bundle.dac_params, jnp.asarray(tail)[..., None], cfg.dac)
+    z = posterior.mode().astype(jnp.float32)
+    if bundle.latent_stats is not None:  # from-scratch models denoise standardized
+        mean, std = bundle.latent_stats
+        z = (z - mean) / std
+
+    total_frames = ctx_frames + cfg.latent_length(extra_duration_s)
+    total_duration_s = total_frames / rate
+    prep = _prepare_long(
+        bundle, text_feat, uncond_text_feat, total_duration_s,
+        clip_feat=None, sync_feat=None, window_s=window_s, overlap_s=overlap_s,
+        batch_size=batch_size, seed=seed, attn_impl=attn_impl,
+        text_bucket=text_bucket, snap_to_window_grid=False,
+        use_cfg=guidance_scale > 1.0, known_prefix=np.asarray(z),
+    )
+    t1 = time.perf_counter()
+    parts = [
+        ch.pcm16 if fetch_pcm16 else ch.audio[:, 0]
+        for ch in _stream_segments(
+            bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
+            num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+            emit_from_frame=ctx_frames,
+        )
+    ]
+    t2 = time.perf_counter()
+
+    audio_np = np.concatenate(parts, axis=-1)[:, : int(extra_duration_s * sr)]
+    if fetch_pcm16:
+        audio_np = audio_np.astype(np.float32) / 32767.0
+    audio_np = audio_np[:, None, :]
+    extra_frames = cfg.latent_length(extra_duration_s)
+    return GenerationResult(
+        audio_first=audio_np[:1],
+        audio_batch=audio_np,
+        sample_rate=sr,
+        latents=(np.asarray(prep.stitched[:, ctx_frames : ctx_frames + extra_frames])
+                 if return_latents else None),
+        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
+                 "windows": float(len(prep.sched)),
+                 "context_frames": float(ctx_frames)},
+    )
+
+
 def _stream_segments(
     bundle, prep: _LongPrep, *, duration_s: float, guidance_scale: float,
-    num_inference_steps: int, fetch_pcm16: bool
+    num_inference_steps: int, fetch_pcm16: bool, emit_from_frame: int = 0
 ) -> Iterator[StreamChunk]:
     """Denoise the window schedule and decode/emit finalized segments as they appear —
     the ONE segmentation both ``generate_audio_long`` (concatenates) and
@@ -438,7 +557,7 @@ def _stream_segments(
     sr = cfg.dac.sample_rate
     n_total = int(duration_s * sr)
     n_windows = len(prep.sched)
-    prev_cut = 0
+    prev_cut = emit_from_frame  # continuation: the known context is not re-emitted
     for w_i, start in _run_windows(bundle, prep, guidance_scale=guidance_scale,
                                    num_inference_steps=num_inference_steps):
         avail = start + prep.win_frames  # latent frames finalized so far

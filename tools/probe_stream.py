@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Time-to-first-audio of streaming long-form on the real TPU (XXL bf16, 50-step CFG).
+
+Measures what the streaming API buys: the wall time until the FIRST finalized audio
+chunk is on the host (one window denoised + its segment decoded) vs the total wall for
+the whole duration — the batch path makes a listener wait for the latter. Run alone on
+the TPU (processes contend).
+
+    python tools/probe_stream.py [duration_s]   # default 90
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    dur = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
+    import jax
+    import jax.numpy as jnp
+
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from foley_tpu.api.nodes import HunyuanModelLoader
+    from foley_tpu.configs import get_config
+    from foley_tpu.core.params import perturb_zero_leaves
+    from foley_tpu.models import dac_vae
+    from foley_tpu.pipeline.generate import ModelBundle
+    from foley_tpu.pipeline.longform import generate_audio_long_stream
+
+    cfg = get_config("xxl")
+    fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
+    dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
+    bundle = ModelBundle(
+        mmdit_params=perturb_zero_leaves(fm["params"], jax.random.PRNGKey(7)),
+        dac_params=dac_params, pipeline_cfg=cfg, compute_dtype=jnp.bfloat16,
+    )
+    text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
+
+    def run(seed):
+        t0 = time.perf_counter()
+        ttfa = None
+        chunks = []
+        for ch in generate_audio_long_stream(
+            bundle, text, text, dur, window_s=30.0, guidance_scale=4.5,
+            num_inference_steps=50, batch_size=1, seed=seed,
+        ):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            chunks.append(ch)
+        return ttfa, time.perf_counter() - t0, chunks
+
+    ttfa_c, wall_c, _ = run(0)  # compile + warm
+    ttfa, wall, chunks = run(1)
+    total_samples = sum(c.audio.shape[-1] for c in chunks)
+    first_audio_s = chunks[0].audio.shape[-1] / chunks[0].sample_rate
+    print(json.dumps({
+        "measure": f"stream_ttfa_{int(dur)}s_xxl_bf16_50step_cfg",
+        "ttfa_s": round(ttfa, 2),
+        "total_wall_s": round(wall, 2),
+        "first_chunk_audio_s": round(first_audio_s, 2),
+        "chunks": len(chunks),
+        "audio_sec_per_sec": round(dur / wall, 3),
+        "samples_ok": bool(total_samples == int(dur * chunks[0].sample_rate)),
+        "finite": bool(all(np.all(np.isfinite(c.audio)) for c in chunks)),
+        "cold_ttfa_s": round(ttfa_c, 1),
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
