@@ -85,6 +85,21 @@ class HunyuanFoleySampler(_nodes.HunyuanFoleySampler):
         return _audio_to_torch(first), _audio_to_torch(batch)
 
 
+class HunyuanFoleyContinuation(_nodes.HunyuanFoleyContinuation):
+    def continue_audio(self, foley_model, dependencies, audio, **kwargs):
+        wf = audio["waveform"]
+        try:
+            import torch
+
+            if isinstance(wf, torch.Tensor):
+                audio = {"waveform": wf.detach().cpu().float().numpy(),
+                         "sample_rate": audio["sample_rate"]}
+        except ImportError:
+            pass
+        first, batch = super().continue_audio(foley_model, dependencies, audio, **kwargs)
+        return _audio_to_torch(first), _audio_to_torch(batch)
+
+
 class SelectAudioFromBatch(_nodes.SelectAudioFromBatch):
     def select_audio(self, audio_batch, index=0):
         wf = audio_batch["waveform"]
@@ -106,6 +121,7 @@ NODE_CLASS_MAPPINGS = {
     "HunyuanFoleySampler": HunyuanFoleySampler,
     "HunyuanFoleyTorchCompile": _nodes.HunyuanCompileConfig,
     "HunyuanBlockSwap": _nodes.HunyuanBlockSwap,
+    "HunyuanFoleyContinuation": HunyuanFoleyContinuation,
     "SelectAudioFromBatch": SelectAudioFromBatch,
 }
 

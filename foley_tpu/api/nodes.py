@@ -293,6 +293,26 @@ class HunyuanBlockSwap:
         },)
 
 
+def _resident_params(foley_model: Dict):
+    """Restore/commit the denoiser params to device memory (shared node preamble).
+
+    Commit matters: restore_params after a force_offload yields *committed* arrays, and
+    jit treats committed vs uncommitted placements as different cache keys — without the
+    up-front commit, every park/restore cycle would recompile the denoise program."""
+    from foley_tpu.parallel.offload import restore_params
+
+    params = foley_model["params"]
+    if foley_model.get("_offloaded"):
+        params = restore_params(params)
+        foley_model["params"] = params
+        foley_model["_offloaded"] = False
+    elif not foley_model.get("_device_committed"):
+        params = restore_params(params)
+        foley_model["params"] = params
+        foley_model["_device_committed"] = True
+    return params
+
+
 class HunyuanFoleySampler:
     """The main generation node (reference ``nodes.py:211-427``)."""
 
@@ -349,24 +369,10 @@ class HunyuanFoleySampler:
         allow_unconditioned: bool = False,
         progress: bool = False,
     ):
-        params = foley_model["params"]
+        params = _resident_params(foley_model)
         cfg: PipelineConfig = foley_model["cfg"]
 
-        # restore params that a previous force_offload parked in host memory
-        from foley_tpu.parallel.offload import host_memory_available, restore_params
-
-        if foley_model.get("_offloaded"):
-            params = restore_params(params)
-            foley_model["params"] = params
-            foley_model["_offloaded"] = False
-        elif not foley_model.get("_device_committed"):
-            # Commit params to device memory up front: restore_params after a force_offload
-            # yields *committed* arrays, and jit treats committed vs uncommitted placements as
-            # different cache keys — without this, every park/restore cycle recompiles the
-            # denoise program (defeating warmup).
-            params = restore_params(params)
-            foley_model["params"] = params
-            foley_model["_device_committed"] = True
+        from foley_tpu.parallel.offload import host_memory_available
 
         offload_fetch = False
         block_swapped = False
@@ -601,6 +607,104 @@ class HunyuanFoleySampler:
         return clip_feat, sync_feat
 
 
+class HunyuanFoleyContinuation:
+    """Continue an existing AUDIO by ``duration`` seconds toward the prompt.
+
+    Beyond-reference node (the reference has no continuation path): the DAC-encoded tail
+    of the input audio is clamped as the first window's known prefix — the same
+    flow-match inpainting the long-form windows use on each other's tails
+    (``pipeline/longform.py::continue_audio``) — so the generated audio attends to and
+    continues the real context. Outputs the NEW audio only; splice it after the source
+    (the seam is continuous with the context's DAC reconstruction)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "foley_model": ("FOLEY_MODEL",),
+                "dependencies": ("FOLEY_DEPS",),
+                "audio": ("AUDIO",),
+                "duration": ("FLOAT", {"default": 5.0, "min": 1.0, "max": 600.0,
+                                       "tooltip": "seconds of NEW audio to generate"}),
+                "prompt": ("STRING", {"default": ""}),
+                "negative_prompt": ("STRING", {"default": "noisy, harsh"}),
+                "context_s": ("FLOAT", {"default": 4.0, "min": 0.1, "max": 29.0,
+                                        "tooltip": "seconds of the source's tail to "
+                                                   "condition on (must fit the window)"}),
+                "cfg_scale": ("FLOAT", {"default": 4.5, "min": 1.0, "max": 10.0}),
+                "steps": ("INT", {"default": 50, "min": 10, "max": 100}),
+                "batch_size": ("INT", {"default": 1, "min": 1, "max": 6}),
+                "seed": ("INT", {"default": 0, "min": 0, "max": 2**63 - 1}),
+                "force_offload": ("BOOLEAN", {"default": True}),
+            },
+            "optional": {
+                "allow_unconditioned": ("BOOLEAN", {"default": False}),
+            },
+        }
+
+    RETURN_TYPES = ("AUDIO", "AUDIO")
+    RETURN_NAMES = ("audio_first", "audio_batch")
+    FUNCTION = "continue_audio"
+    CATEGORY = "HunyuanVideoFoley-TPU"
+
+    def continue_audio(
+        self,
+        foley_model: Dict,
+        dependencies: Dict,
+        audio: Dict,
+        duration: float = 5.0,
+        prompt: str = "",
+        negative_prompt: str = "noisy, harsh",
+        context_s: float = 4.0,
+        cfg_scale: float = 4.5,
+        steps: int = 50,
+        batch_size: int = 1,
+        seed: int = 0,
+        force_offload: bool = True,
+        allow_unconditioned: bool = False,
+    ):
+        from foley_tpu.parallel.offload import host_memory_available
+        from foley_tpu.pipeline.longform import continue_audio as continue_fn
+
+        params = _resident_params(foley_model)
+        cfg: PipelineConfig = foley_model["cfg"]
+        sr = int(audio["sample_rate"])
+        if sr != cfg.dac.sample_rate:
+            raise ValueError(
+                f"continuation input must be {cfg.dac.sample_rate} Hz (got {sr}); "
+                "resample first")
+        wav = np.asarray(audio["waveform"], np.float32)
+        if wav.ndim != 3:
+            raise ValueError(f"AUDIO waveform must be [B, C, T], got {wav.shape}")
+        mono = wav.mean(axis=1)[:1]  # first batch row, mono mixdown
+
+        text_feat, uncond_text_feat = HunyuanFoleySampler._encode_text(
+            dependencies, prompt, negative_prompt, cfg, allow_unconditioned
+        )
+        bundle = ModelBundle(
+            mmdit_params=params,
+            dac_params=dependencies["dac_params"],
+            pipeline_cfg=cfg,
+            encoders=dependencies,
+            compute_dtype=foley_model.get("dtype", jnp.bfloat16),
+            latent_stats=foley_model.get("latent_stats"),
+        )
+        result = continue_fn(
+            bundle, mono, text_feat, uncond_text_feat, duration,
+            context_s=context_s, guidance_scale=cfg_scale,
+            num_inference_steps=steps, batch_size=batch_size, seed=seed,
+        )
+        if force_offload and host_memory_available():
+            from foley_tpu.parallel.offload import offload_params
+
+            foley_model["params"] = offload_params(params)
+            foley_model["_offloaded"] = True
+        return (
+            {"waveform": result.audio_first, "sample_rate": result.sample_rate},
+            {"waveform": result.audio_batch, "sample_rate": result.sample_rate},
+        )
+
+
 class SelectAudioFromBatch:
     """Pick one AUDIO from a batch, clamping OOB (reference ``nodes.py:636-663``)."""
 
@@ -629,6 +733,7 @@ NODE_CLASS_MAPPINGS = {
     "HunyuanFoleySampler": HunyuanFoleySampler,
     "HunyuanFoleyTorchCompile": HunyuanCompileConfig,
     "HunyuanBlockSwap": HunyuanBlockSwap,
+    "HunyuanFoleyContinuation": HunyuanFoleyContinuation,
     "SelectAudioFromBatch": SelectAudioFromBatch,
 }
 
@@ -638,5 +743,6 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "HunyuanFoleySampler": "Hunyuan Foley Sampler (TPU)",
     "HunyuanFoleyTorchCompile": "Hunyuan Foley Compile Warmup (TPU)",
     "HunyuanBlockSwap": "Hunyuan Foley Block Swap / Host Offload (TPU)",
+    "HunyuanFoleyContinuation": "Hunyuan Foley Audio Continuation (TPU)",
     "SelectAudioFromBatch": "Select Audio From Batch",
 }

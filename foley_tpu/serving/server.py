@@ -175,6 +175,27 @@ class FoleyService:
                 return d
         return self.durations[-1]
 
+    def _continuation_wav(self, request: Dict):
+        """Decode a request's ``continue_b64`` WAV (if any) -> [1, T] float mono at the
+        DAC sample rate, or None."""
+        if "continue_b64" not in request:
+            return None
+        import io as _io
+        import wave as wave_mod
+
+        raw = base64.b64decode(request["continue_b64"])
+        with wave_mod.open(_io.BytesIO(raw)) as f:
+            sr_want = self.bundle.pipeline_cfg.dac.sample_rate
+            if f.getframerate() != sr_want:
+                raise ValueError(
+                    f"continue_b64 WAV must be {sr_want} Hz (got {f.getframerate()})")
+            if f.getsampwidth() != 2:
+                raise ValueError("continue_b64 WAV must be 16-bit PCM")
+            nch = f.getnchannels()
+            pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+        mono = (pcm.astype(np.float32) / 32767.0).reshape(-1, nch).mean(axis=1)
+        return mono[None]
+
     # -- V2A inputs -------------------------------------------------------------
     def _frames_from_request(self, request: Dict):
         """Decode a request's video input, if any -> ([T,H,W,3] float [0,1], fps)."""
@@ -236,6 +257,13 @@ class FoleyService:
         prompt = request.get("prompt", "")
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))
+        # continuation: "continue_b64" carries a WAV whose tail conditions `duration`
+        # seconds of NEW audio (pipeline/longform.py::continue_audio). Shapes depend on
+        # (context, duration) and compile on first sight while holding the lock.
+        cont_wav = self._continuation_wav(request)
+        if cont_wav is not None and ("frames_b64" in request or "frames_path" in request):
+            raise ValueError("continuation (continue_b64) is text-conditioned only; "
+                             "remove frames_b64/frames_path")
         # beyond the largest warmed bucket: windowed long-form instead of the old silent
         # snap-down — the window is the largest warmed duration
         long_form = duration > self.durations[-1]
@@ -267,7 +295,20 @@ class FoleyService:
                 (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
             )
         with self._lock, self._mesh_ctx():
-            if long_form:
+            if cont_wav is not None:
+                from foley_tpu.pipeline.longform import continue_audio, default_window_s
+
+                result = continue_audio(
+                    self.bundle, cont_wav, text, uncond, duration,
+                    context_s=float(request.get("context_s", 4.0)),
+                    window_s=default_window_s(self.bundle.pipeline_cfg),
+                    guidance_scale=float(request.get("cfg_scale", 4.5)),
+                    num_inference_steps=steps,
+                    batch_size=batch,
+                    seed=int(request.get("seed", 0)),
+                    text_bucket=self.text_buckets[0],
+                )
+            elif long_form:
                 from foley_tpu.pipeline.longform import generate_audio_long
 
                 result = generate_audio_long(
@@ -328,6 +369,9 @@ class FoleyService:
 
         if request.get("mux_video"):
             raise ValueError("mux_video is not supported with response=pcm16_stream")
+        if "continue_b64" in request:
+            raise ValueError("continuation is not supported with response=pcm16_stream "
+                             "(use the default WAV response)")
         prompt = request.get("prompt", "")
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))

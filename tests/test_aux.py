@@ -85,7 +85,8 @@ def test_node_schemas_complete():
 
     assert set(NODE_CLASS_MAPPINGS) == {
         "HunyuanModelLoader", "HunyuanDependenciesLoader", "HunyuanFoleySampler",
-        "HunyuanFoleyTorchCompile", "HunyuanBlockSwap", "SelectAudioFromBatch",
+        "HunyuanFoleyTorchCompile", "HunyuanBlockSwap", "HunyuanFoleyContinuation",
+        "SelectAudioFromBatch",
     }
     assert set(NODE_DISPLAY_NAME_MAPPINGS) == set(NODE_CLASS_MAPPINGS)
     for name, cls in NODE_CLASS_MAPPINGS.items():
@@ -400,3 +401,39 @@ def test_bench_mode_plumbing():
         assert "bogus" in str(e)
     else:
         raise AssertionError("unknown mode must raise")
+
+
+def test_continuation_node_end_to_end():
+    """HunyuanFoleyContinuation: extends an AUDIO dict, returns the NEW audio only,
+    respects force_offload parking, and rejects wrong sample rates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from foley_tpu.api.nodes import HunyuanFoleyContinuation, HunyuanModelLoader
+    from foley_tpu.configs import TINY
+    from foley_tpu.models import dac_vae
+
+    foley_model = HunyuanModelLoader.init_random("tiny", "fp32", 0)
+    deps = {"dac_params": dac_vae.init(jax.random.PRNGKey(1), TINY.dac), "dac_cfg": TINY.dac}
+    rng = np.random.default_rng(3)
+    src = {"waveform": np.clip(rng.normal(scale=0.1, size=(1, 1, 48000)), -1, 1)
+           .astype(np.float32), "sample_rate": 48000}
+    node = HunyuanFoleyContinuation()
+    kw = dict(duration=1.0, prompt="more", context_s=0.5, steps=2, batch_size=2, seed=1,
+              allow_unconditioned=True)
+    first, batch = node.continue_audio(foley_model, deps, src, force_offload=True, **kw)
+    assert np.asarray(first["waveform"]).shape == (1, 1, 48000)
+    assert np.asarray(batch["waveform"]).shape == (2, 1, 48000)
+    assert np.isfinite(np.asarray(batch["waveform"])).all()
+    assert foley_model["_offloaded"]  # force_offload parked the params
+
+    # a second call restores parked params and reproduces the result (same seed)
+    first2, _ = node.continue_audio(foley_model, deps, src, force_offload=False, **kw)
+    np.testing.assert_array_equal(np.asarray(first2["waveform"]),
+                                  np.asarray(first["waveform"]))
+
+    with pytest.raises(ValueError, match="48000"):
+        node.continue_audio(foley_model, deps,
+                            {"waveform": src["waveform"], "sample_rate": 44100}, **kw)

@@ -17,7 +17,8 @@ from foley_tpu.models import dac_vae
 def test_mappings_match_reference_names():
     assert set(comfyui_adapter.NODE_CLASS_MAPPINGS) == {
         "HunyuanModelLoader", "HunyuanDependenciesLoader", "HunyuanFoleySampler",
-        "HunyuanFoleyTorchCompile", "HunyuanBlockSwap", "SelectAudioFromBatch",
+        "HunyuanFoleyTorchCompile", "HunyuanBlockSwap", "HunyuanFoleyContinuation",
+        "SelectAudioFromBatch",
     }
 
 

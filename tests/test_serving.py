@@ -513,3 +513,26 @@ def test_generate_pcm16_stream(server):
         post({**req, "mux_video": True})
     assert exc.value.code == 500
     assert "mux_video" in json.loads(exc.value.read())["error"]
+
+
+def test_continuation_request(service):
+    """continue_b64 routes to audio continuation: `duration` seconds of NEW audio
+    conditioned on the uploaded WAV's tail; validation errors are actionable."""
+    from foley_tpu.io.native import wav_image
+
+    rng = np.random.default_rng(4)
+    src = np.clip(rng.normal(scale=0.1, size=48000).astype(np.float32), -1, 1)
+    wav_b64 = base64.b64encode(wav_image(src, 48000)).decode()
+    req = {"prompt": "more of this", "duration": 1.0, "steps": 2, "seed": 2,
+           "continue_b64": wav_b64, "context_s": 0.5}
+    out = service.generate(dict(req))
+    assert out["waveform"].shape == (1, 48000)
+    assert np.all(np.isfinite(np.asarray(out["waveform"])))
+    out2 = service.generate(dict(req))
+    np.testing.assert_array_equal(out["waveform"], out2["waveform"])
+
+    with pytest.raises(ValueError, match="48000"):
+        bad = base64.b64encode(wav_image(src[:8000], 16000)).decode()
+        service.generate({**req, "continue_b64": bad})
+    with pytest.raises(ValueError, match="text-conditioned"):
+        service.generate({**req, "frames_b64": _frames_b64()})
