@@ -48,7 +48,6 @@ import numpy as np
 from foley_tpu.pipeline.features import pick_text_bucket, prepare_cfg_features, t2a_features
 from foley_tpu.pipeline.generate import (
     _DECODE_CHUNK_FRAMES,
-    _DECODE_CHUNK_THRESHOLD,
     GenerationResult,
     ModelBundle,
 )
@@ -609,8 +608,16 @@ def _decode_long_jit(dac_params, latents, latent_stats, *, dac_cfg, chunk_frames
     return audio
 
 
+#: Long-form segment decodes chunk ABOVE this (vs the fused single-program path's 1536):
+#: they dispatch standalone next to the resident XXL weights, so a 30 s window's plain
+#: fp32 decode temps (~2.7 GiB, 4 tile-padded [1, T*960, 64] intermediates) are worth
+#: trading for decode_chunked's one-window-at-a-time footprint (~0.9 GiB at chunk 512).
+_LONG_DECODE_CHUNK_THRESHOLD = 1024
+
+
 def _decode_long(dac_params, latents, dac_cfg, latent_stats, *, fetch_pcm16):
-    chunk = _DECODE_CHUNK_FRAMES if latents.shape[1] > _DECODE_CHUNK_THRESHOLD else None
+    chunk = (_DECODE_CHUNK_FRAMES
+             if latents.shape[1] > _LONG_DECODE_CHUNK_THRESHOLD else None)
     return _decode_long_jit(
         dac_params, latents, latent_stats, dac_cfg=dac_cfg, chunk_frames=chunk,
         output_pcm16=fetch_pcm16,
