@@ -472,9 +472,87 @@ def continue_audio(
     EXISTING audio instead of extending it. Beyond-reference capability: the reference
     has no continuation path at all."""
     cfg = bundle.pipeline_cfg
+    sr = cfg.dac.sample_rate
+    t0 = time.perf_counter()
+    prep, ctx_frames, total_duration_s = _continuation_prep(
+        bundle, audio, text_feat, uncond_text_feat, extra_duration_s,
+        context_s=context_s, window_s=window_s, overlap_s=overlap_s,
+        batch_size=batch_size, seed=seed, attn_impl=attn_impl,
+        text_bucket=text_bucket, use_cfg=guidance_scale > 1.0,
+    )
+    t1 = time.perf_counter()
+    parts = [
+        ch.pcm16 if fetch_pcm16 else ch.audio[:, 0]
+        for ch in _stream_segments(
+            bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
+            num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+            emit_from_frame=ctx_frames,
+        )
+    ]
+    t2 = time.perf_counter()
+
+    audio_np = np.concatenate(parts, axis=-1)[:, : int(extra_duration_s * sr)]
+    if fetch_pcm16:
+        audio_np = audio_np.astype(np.float32) / 32767.0
+    audio_np = audio_np[:, None, :]
+    extra_frames = cfg.latent_length(extra_duration_s)
+    return GenerationResult(
+        audio_first=audio_np[:1],
+        audio_batch=audio_np,
+        sample_rate=sr,
+        latents=(np.asarray(prep.stitched[:, ctx_frames : ctx_frames + extra_frames])
+                 if return_latents else None),
+        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
+                 "windows": float(len(prep.sched)),
+                 "context_frames": float(ctx_frames)},
+    )
+
+
+def continue_audio_stream(
+    bundle: ModelBundle,
+    audio: np.ndarray,
+    text_feat: jnp.ndarray,
+    uncond_text_feat: jnp.ndarray,
+    extra_duration_s: float,
+    *,
+    context_s: float = 4.0,
+    window_s: float = 30.0,
+    overlap_s: Optional[float] = None,
+    guidance_scale: float = 4.5,
+    num_inference_steps: int = 50,
+    batch_size: int = 1,
+    seed: int = 0,
+    attn_impl: str = "auto",
+    text_bucket: Optional[int] = None,
+    fetch_pcm16: bool = True,
+) -> Iterator[StreamChunk]:
+    """``continue_audio`` as a stream (chunks are bitwise-identical to the batch path;
+    ``start_sample`` is relative to the NEW audio, i.e. chunk 0 starts at 0)."""
+    cfg = bundle.pipeline_cfg
+    prep, ctx_frames, total_duration_s = _continuation_prep(
+        bundle, audio, text_feat, uncond_text_feat, extra_duration_s,
+        context_s=context_s, window_s=window_s, overlap_s=overlap_s,
+        batch_size=batch_size, seed=seed, attn_impl=attn_impl,
+        text_bucket=text_bucket, use_cfg=guidance_scale > 1.0,
+    )
+    base = ctx_frames * cfg.dac.hop_length
+    for ch in _stream_segments(
+        bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
+        num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+        emit_from_frame=ctx_frames,
+    ):
+        yield ch._replace(start_sample=ch.start_sample - base)
+
+
+def _continuation_prep(
+    bundle, audio, text_feat, uncond_text_feat, extra_duration_s, *,
+    context_s, window_s, overlap_s, batch_size, seed, attn_impl, text_bucket, use_cfg,
+) -> Tuple[_LongPrep, int, float]:
+    """Encode the context tail and build the window plan shared by ``continue_audio``
+    and ``continue_audio_stream`` -> (prep, ctx_frames, total_duration_s)."""
+    cfg = bundle.pipeline_cfg
     sr, hop = cfg.dac.sample_rate, cfg.dac.hop_length
     rate = cfg.model.audio_frame_rate
-    t0 = time.perf_counter()
 
     wav = np.asarray(audio, np.float32)
     if wav.ndim == 1:
@@ -509,34 +587,9 @@ def continue_audio(
         clip_feat=None, sync_feat=None, window_s=window_s, overlap_s=overlap_s,
         batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, snap_to_window_grid=False,
-        use_cfg=guidance_scale > 1.0, known_prefix=np.asarray(z),
+        use_cfg=use_cfg, known_prefix=np.asarray(z),
     )
-    t1 = time.perf_counter()
-    parts = [
-        ch.pcm16 if fetch_pcm16 else ch.audio[:, 0]
-        for ch in _stream_segments(
-            bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
-            num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
-            emit_from_frame=ctx_frames,
-        )
-    ]
-    t2 = time.perf_counter()
-
-    audio_np = np.concatenate(parts, axis=-1)[:, : int(extra_duration_s * sr)]
-    if fetch_pcm16:
-        audio_np = audio_np.astype(np.float32) / 32767.0
-    audio_np = audio_np[:, None, :]
-    extra_frames = cfg.latent_length(extra_duration_s)
-    return GenerationResult(
-        audio_first=audio_np[:1],
-        audio_batch=audio_np,
-        sample_rate=sr,
-        latents=(np.asarray(prep.stitched[:, ctx_frames : ctx_frames + extra_frames])
-                 if return_latents else None),
-        timings={"prepare_s": t1 - t0, "denoise_decode_s": t2 - t1,
-                 "windows": float(len(prep.sched)),
-                 "context_frames": float(ctx_frames)},
-    )
+    return prep, ctx_frames, total_duration_s
 
 
 def _stream_segments(

@@ -369,9 +369,10 @@ class FoleyService:
 
         if request.get("mux_video"):
             raise ValueError("mux_video is not supported with response=pcm16_stream")
-        if "continue_b64" in request:
-            raise ValueError("continuation is not supported with response=pcm16_stream "
-                             "(use the default WAV response)")
+        cont_wav = self._continuation_wav(request)
+        if cont_wav is not None and ("frames_b64" in request or "frames_path" in request):
+            raise ValueError("continuation (continue_b64) is text-conditioned only; "
+                             "remove frames_b64/frames_path")
         prompt = request.get("prompt", "")
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))
@@ -407,7 +408,17 @@ class FoleyService:
             seed=int(request.get("seed", 0)), text_bucket=self.text_buckets[0],
         )
         with self._lock, self._mesh_ctx():
-            if long_form:
+            if cont_wav is not None:
+                from foley_tpu.pipeline.longform import continue_audio_stream, default_window_s
+
+                for ch in continue_audio_stream(
+                    self.bundle, cont_wav, text, uncond, duration,
+                    context_s=float(request.get("context_s", 4.0)),
+                    window_s=default_window_s(self.bundle.pipeline_cfg), **common,
+                ):
+                    yield {"pcm": ch.pcm16[0].tobytes(),
+                           "start_sample": ch.start_sample, "final": ch.final}
+            elif long_form:
                 from foley_tpu.pipeline.longform import generate_audio_long_stream
 
                 for ch in generate_audio_long_stream(

@@ -708,3 +708,26 @@ def test_continue_audio(live_bundle):
                        **{**kwargs, "context_s": 1.5, "window_s": 1.0})
     with pytest.raises(ValueError, match="one latent frame"):
         continue_audio(live_bundle, src[:100], text, uncond, 1.0, **kwargs)
+
+
+def test_continue_audio_stream_matches_batch(live_bundle):
+    """Streaming continuation is bitwise the batch continuation (shared segments);
+    start_sample is rebased to the NEW audio."""
+    from foley_tpu.pipeline.longform import continue_audio, continue_audio_stream
+
+    text, uncond = _text()
+    sr = CFG.dac.sample_rate
+    rng = np.random.default_rng(2)
+    src = np.clip(rng.normal(scale=0.1, size=int(1.5 * sr)).astype(np.float32), -1, 1)
+    kwargs = dict(context_s=0.5, window_s=2.0, overlap_s=0.5, guidance_scale=4.5,
+                  num_inference_steps=2, seed=9, text_bucket=16)
+    batch = continue_audio(live_bundle, src, text, uncond, 3.0, **kwargs)
+    chunks = list(continue_audio_stream(live_bundle, src, text, uncond, 3.0, **kwargs))
+    assert chunks[0].start_sample == 0 and chunks[-1].final
+    pos = 0
+    for c in chunks:
+        assert c.start_sample == pos
+        pos += c.audio.shape[-1]
+    assert pos == 3 * sr
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    np.testing.assert_array_equal(streamed, batch.audio_batch)

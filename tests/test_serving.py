@@ -536,3 +536,29 @@ def test_continuation_request(service):
         service.generate({**req, "continue_b64": bad})
     with pytest.raises(ValueError, match="text-conditioned"):
         service.generate({**req, "frames_b64": _frames_b64()})
+
+
+def test_continuation_stream(server):
+    """continue_b64 + response=pcm16_stream streams the continuation; payload equals
+    the batch continuation route's WAV PCM within 1 LSB."""
+    from foley_tpu.io.native import wav_image
+
+    rng = np.random.default_rng(5)
+    src = np.clip(rng.normal(scale=0.1, size=48000).astype(np.float32), -1, 1)
+    req = {"prompt": "keep going", "duration": 1.0, "steps": 2, "seed": 6,
+           "continue_b64": base64.b64encode(wav_image(src, 48000)).decode(),
+           "context_s": 0.5}
+
+    def post(body):
+        return urllib.request.urlopen(
+            urllib.request.Request(server + "/generate", data=json.dumps(body).encode()),
+            timeout=600)
+
+    with post({**req, "response": "pcm16_stream"}) as r:
+        assert int(r.headers["X-Total-Samples"]) == 48000
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert pcm.shape[0] == 48000
+    with post(req) as r:
+        with wave.open(io.BytesIO(r.read())) as f:
+            wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
