@@ -20,7 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    dur = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
+    argv = sys.argv[1:]
+    config = "xxl"
+    steps = 50
+    if "--config" in argv:  # CPU smoke: --config tiny --steps 2
+        config = argv[argv.index("--config") + 1]
+        del argv[argv.index("--config") : argv.index("--config") + 2]
+    if "--steps" in argv:
+        steps = int(argv[argv.index("--steps") + 1])
+        del argv[argv.index("--steps") : argv.index("--steps") + 2]
+    dur = float(argv[0]) if argv else 90.0
     import jax
     import jax.numpy as jnp
 
@@ -35,8 +44,8 @@ def main():
     from foley_tpu.pipeline.generate import ModelBundle
     from foley_tpu.pipeline.longform import generate_audio_long_stream
 
-    cfg = get_config("xxl")
-    fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
+    cfg = get_config(config)
+    fm = HunyuanModelLoader.init_random(config, "bf16", seed=0)
     dac_params = dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32)
     bundle = ModelBundle(
         mmdit_params=perturb_zero_leaves(fm["params"], jax.random.PRNGKey(7)),
@@ -49,8 +58,8 @@ def main():
         ttfa = None
         chunks = []
         for ch in generate_audio_long_stream(
-            bundle, text, text, dur, window_s=30.0, guidance_scale=4.5,
-            num_inference_steps=50, batch_size=1, seed=seed,
+            bundle, text, text, dur, window_s=min(30.0, cfg.max_duration_s), guidance_scale=4.5,
+            num_inference_steps=steps, batch_size=1, seed=seed,
         ):
             if ttfa is None:
                 ttfa = time.perf_counter() - t0
@@ -62,7 +71,7 @@ def main():
     total_samples = sum(c.audio.shape[-1] for c in chunks)
     first_audio_s = chunks[0].audio.shape[-1] / chunks[0].sample_rate
     print(json.dumps({
-        "measure": f"stream_ttfa_{int(dur)}s_xxl_bf16_50step_cfg",
+        "measure": f"stream_ttfa_{int(dur)}s_{config}_bf16_{steps}step_cfg",
         "ttfa_s": round(ttfa, 2),
         "total_wall_s": round(wall, 2),
         "first_chunk_audio_s": round(first_audio_s, 2),
