@@ -12,6 +12,7 @@ import hashlib
 import os
 
 _enabled = False
+_active_dir: str | None = None
 
 
 def _machine_tag() -> str:
@@ -36,8 +37,12 @@ def _machine_tag() -> str:
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Idempotently enable the persistent compilation cache. Returns the cache dir."""
-    global _enabled
+    """Idempotently enable the persistent compilation cache.
+
+    Returns the ACTIVE cache dir: the first caller's choice wins for the process (the
+    jax cache config is global and not re-pointed), so a later call with a different
+    path gets the directory actually in use, never an uncreated path."""
+    global _enabled, _active_dir
     import jax
 
     cache_dir = cache_dir or os.path.join(
@@ -49,4 +54,5 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _enabled = True
-    return cache_dir
+        _active_dir = cache_dir
+    return _active_dir

@@ -47,11 +47,13 @@ def test_drop_visual_matches_explicit_empty():
 
 
 def test_compilation_cache_enable(tmp_path):
+    """First caller wins for the process (the jax cache config is global); every call
+    returns the ACTIVE dir, which always exists — even when an earlier test already
+    enabled the cache at a different path."""
     from foley_tpu.core.cache import enable_compilation_cache
 
     d = enable_compilation_cache(str(tmp_path / "xla"))
     import os
 
     assert os.path.isdir(d)
-    # second call is an idempotent no-op returning a dir
-    assert enable_compilation_cache(str(tmp_path / "other"))
+    assert enable_compilation_cache(str(tmp_path / "other")) == d
