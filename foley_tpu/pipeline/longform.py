@@ -95,6 +95,16 @@ def window_schedule(
 V2A_GRID_S = 8
 
 
+def emitted_samples(duration_s: float, sr: int) -> int:
+    """``int(duration * sr)`` with a float-noise guard (same rationale as
+    ``configs._frames``): non-dyadic durations — including the SYNTHETIC
+    ``total_frames / rate`` round-trips the continuation path produces — can land one
+    ulp below the exact product (3.54 * 48000 = 169919.99999999997) and plain ``int()``
+    would silently drop the last sample. The serving stream header uses this too, so
+    X-Total-Samples always matches what the stream emits."""
+    return int(duration_s * sr + 1e-6)
+
+
 def default_window_s(cfg) -> float:
     """The long-form window the node layer uses: 30 s (fits a 16 GiB chip in bf16 with
     chunked decode, ROADMAP long-form table), capped at the config's single-window max.
@@ -491,7 +501,7 @@ def continue_audio(
     ]
     t2 = time.perf_counter()
 
-    audio_np = np.concatenate(parts, axis=-1)[:, : int(extra_duration_s * sr)]
+    audio_np = np.concatenate(parts, axis=-1)[:, : emitted_samples(extra_duration_s, sr)]
     if fetch_pcm16:
         audio_np = audio_np.astype(np.float32) / 32767.0
     audio_np = audio_np[:, None, :]
@@ -607,7 +617,7 @@ def _stream_segments(
     cfg = bundle.pipeline_cfg
     hop = cfg.dac.hop_length
     sr = cfg.dac.sample_rate
-    n_total = int(duration_s * sr)
+    n_total = emitted_samples(duration_s, sr)
     n_windows = len(prep.sched)
     prev_cut = emit_from_frame  # continuation: the known context is not re-emitted
     for w_i, start in _run_windows(bundle, prep, guidance_scale=guidance_scale,

@@ -400,7 +400,9 @@ class FoleyService:
                 (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
             )
         sr = self.bundle.pipeline_cfg.dac.sample_rate
-        n_total = int(duration * sr)
+        from foley_tpu.pipeline.longform import emitted_samples
+
+        n_total = emitted_samples(duration, sr)
         yield {"header": {"sample_rate": sr, "channels": 1, "total_samples": n_total}}
         common = dict(
             guidance_scale=float(request.get("cfg_scale", 4.5)),

@@ -731,3 +731,27 @@ def test_continue_audio_stream_matches_batch(live_bundle):
     assert pos == 3 * sr
     streamed = np.concatenate([c.audio for c in chunks], axis=-1)
     np.testing.assert_array_equal(streamed, batch.audio_batch)
+
+
+def test_emitted_samples_float_guard(live_bundle):
+    """Durations on the latent grid can land one ulp below the exact sample product
+    (57 frames -> 1.14 s -> 1.14 * 48000 = 54719.99999999999 in float64), and plain
+    ``int()`` drops the last sample; emitted_samples guards the truncation. A
+    continuation whose internal context+extra total hits such a value must still emit
+    exactly extra_duration seconds."""
+    from foley_tpu.pipeline.longform import continue_audio, emitted_samples
+
+    assert int(1.14 * 48000) == 54719  # the raw truncation really does drop a sample
+    assert emitted_samples(1.14, 48000) == 54720
+    assert emitted_samples(90.0, 48000) == 90 * 48000
+
+    text, uncond = _text()
+    sr = CFG.dac.sample_rate
+    src = np.clip(np.random.default_rng(1).normal(scale=0.1, size=sr).astype(np.float32),
+                  -1, 1)
+    # ctx 0.5 s = 25 frames + extra 0.64 s = 32 frames -> internal total 57 frames =
+    # 1.14 s, the truncating value above; the old int() path emitted 30719 samples
+    res = continue_audio(live_bundle, src, text, uncond, 0.64, context_s=0.5,
+                         window_s=2.0, num_inference_steps=1, seed=2, text_bucket=16)
+    assert res.audio_first.shape == (1, 1, emitted_samples(0.64, sr))
+    assert res.audio_first.shape[-1] == 32 * CFG.dac.hop_length
