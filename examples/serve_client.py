@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--stream", action="store_true",
                     help="response=pcm16_stream: read audio progressively as long-form "
                          "windows finalize; prints time-to-first-audio")
+    ap.add_argument("--first_window", type=float, default=None,
+                    help="streaming latency ramp: denoise/emit this many seconds first "
+                         "(TTFA ~ first_window/window of a full window's cost)")
     ap.add_argument("--continue_wav", default="",
                     help="continue this 48 kHz WAV by --duration seconds (the server "
                          "conditions on its tail)")
@@ -76,6 +79,8 @@ def main() -> int:
         body["context_s"] = args.context_s
     if args.stream:
         body["response"] = "pcm16_stream"
+        if args.first_window is not None:
+            body["first_window_s"] = args.first_window
 
     req = urllib.request.Request(
         args.server + "/generate", data=json.dumps(body).encode(),

@@ -17,7 +17,11 @@ path (``generate_audio_long``).
 
 Memory is bounded by the window length regardless of total duration; per-window compute
 reuses at most three compiled programs (first / interior / final window, which differ only
-in the static ``known_frames``).
+in the static ``known_frames``). An optional streaming latency ramp (``first_window_s``)
+prepends a smaller preamble window whose audio is emitted as soon as it is denoised, then
+runs the normal plan with the preamble clamped as known prefix — time-to-first-audio
+drops to ~``first/window`` of a full window's cost for one extra small denoise
+(+1 compiled variant).
 
 V2A windows slice the FULL video's conditioning features: SigLIP2 clip features are
 per-frame (8 fps) and Synchformer sync features are per-segment with NO cross-segment
@@ -182,6 +186,7 @@ def generate_audio_long(
     return_latents: bool = False,
     fetch_pcm16: bool = True,
     snap_to_window_grid: bool = False,
+    first_window_s: Optional[float] = None,
 ) -> GenerationResult:
     """Generate ``duration_s`` seconds of audio (any length) in ``window_s`` windows.
 
@@ -200,7 +205,7 @@ def generate_audio_long(
         clip_feat=clip_feat, sync_feat=sync_feat, window_s=window_s,
         overlap_s=overlap_s, batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, snap_to_window_grid=snap_to_window_grid,
-        use_cfg=guidance_scale > 1.0,
+        use_cfg=guidance_scale > 1.0, first_window_s=first_window_s,
     )
     t1 = time.perf_counter()
     # Decode through the SAME per-segment schedule as the streaming path, so streamed
@@ -237,12 +242,12 @@ class _LongPrep(NamedTuple):
     """Window plan + shared per-run state for the long-form denoise loop."""
 
     total_frames: int
-    win_frames: int
+    win_frames: int  # the MAIN window size; sizes[i] may differ (ramp/final clamp)
     sched: List[Tuple[int, int]]
+    sizes: List[int]  # per-window latent frames, aligned with sched
     noise: jnp.ndarray
     stitched: np.ndarray  # mutated in place by _run_windows
-    window_features: object  # callable: start_frame -> CFG feature pack
-    features: object  # T2A: precomputed once (start-invariant); V2A: None
+    window_features: object  # callable: (start_frame, win_frames) -> CFG feature pack
     attn_impl: str
     use_cfg: bool
     v2a: bool
@@ -265,13 +270,24 @@ def _prepare_long(
     snap_to_window_grid: bool,
     use_cfg: bool,
     known_prefix: Optional[np.ndarray] = None,
+    first_window_s: Optional[float] = None,
 ) -> _LongPrep:
     """The window plan, conditioning closures, and buffers shared by the batch
     (``generate_audio_long``) and streaming (``generate_audio_long_stream``) paths.
 
     ``known_prefix`` ([B, ctx_frames, latent_dim], standardized space): frames already
     known before generation starts (audio continuation) — seeded into the stitch buffer
-    and clamped by window 0 exactly like an interior window clamps its overlap."""
+    and clamped by window 0 exactly like an interior window clamps its overlap.
+
+    ``first_window_s``: streaming latency ramp — prepend a SMALLER preamble window over
+    [0, first_window_s) to the schedule, then run the normal window plan with the
+    preamble marked as its known prefix (the exact ``initial_covered`` mechanism the
+    continuation path uses). Window 1 re-denoises [0, window_s) with the preamble
+    clamped — at sigma=0 the clamp reproduces the preamble's latents EXACTLY, so the
+    stitched result stays a pure function of (seed, conditioning, schedule) and the
+    stream==batch bitwise property is preserved. Time-to-first-audio drops from one
+    full window's denoise to the preamble's (~first/window of the cost); the price is
+    one extra small denoise (+1 compiled variant) per generation."""
     cfg = bundle.pipeline_cfg
     v2a = clip_feat is not None or sync_feat is not None
     if v2a and (clip_feat is None or sync_feat is None):
@@ -296,41 +312,70 @@ def _prepare_long(
         step = win_frames - ov_frames
         total_frames = win_frames + -(-(total_frames - win_frames) // step) * step
     ctx_frames = 0 if known_prefix is None else int(known_prefix.shape[1])
-    sched = window_schedule(total_frames, win_frames, ov_frames, initial_covered=ctx_frames)
+    first_frames = 0
+    if first_window_s is not None and total_frames > cfg.latent_length(first_window_s):
+        first_frames = cfg.latent_length(first_window_s)
+        if first_frames >= win_frames:
+            raise ValueError(
+                f"first_window_s ({first_window_s}) must be smaller than window_s — it "
+                "is a streaming latency ramp, not the window itself")
+        if ctx_frames >= first_frames:
+            raise ValueError(
+                f"continuation context ({ctx_frames} latent frames) must fit inside the "
+                f"ramp window ({first_frames}); raise first_window_s or lower context_s")
+        # preamble over [0, first_frames), then the normal plan treating it as known —
+        # identical window starts/knowns to the no-ramp schedule except window 1 clamps
+        # the preamble instead of starting free
+        sched = [(0, ctx_frames)] + window_schedule(
+            total_frames, win_frames, ov_frames, initial_covered=first_frames)
+    else:
+        sched = window_schedule(
+            total_frames, win_frames, ov_frames, initial_covered=ctx_frames)
+    # every window is the main size except a ramp preamble, clamped to the sequence end
+    # (the no-ramp single-window case: exactly generate_audio's geometry)
+    sizes = [
+        min(first_frames if (first_frames and i == 0) else win_frames,
+            total_frames - start)
+        for i, (start, _) in enumerate(sched)
+    ]
     if v2a and len(sched) > 1:
         # Validate the LAST window's slice bounds up front: undersized features (sized for
         # the requested rather than the plan's snapped duration) must fail NOW, not after
         # every earlier window has already been denoised (minutes of wasted XXL TPU time).
-        _slice_v2a_window(cfg, clip_feat, sync_feat, sched[-1][0], win_frames)
-    if len(sched) == 1:
-        win_frames = total_frames  # single window: exactly generate_audio's geometry
-    win_duration = win_frames / cfg.model.audio_frame_rate
+        _slice_v2a_window(cfg, clip_feat, sync_feat, sched[-1][0], sizes[-1])
+    win_frames = max(sizes)
     bucket = text_bucket or pick_text_bucket(int(text_feat.shape[1]))
+    t2a_cache = {}
 
-    def window_features(start: int):
-        """Conditioning for the window at latent frame ``start`` (shape-stable across
-        windows, so all windows share the compiled denoise variants)."""
+    def window_features(start: int, win: int):
+        """Conditioning for the window at latent frame ``start`` spanning ``win`` frames
+        (shape-stable across same-size windows, so they share compiled denoise
+        variants; T2A conditioning is start-invariant and cached per window size)."""
         if v2a:
-            clip_w, sync_w = _slice_v2a_window(cfg, clip_feat, sync_feat, start, win_frames)
+            clip_w, sync_w = _slice_v2a_window(cfg, clip_feat, sync_feat, start, win)
+        elif win in t2a_cache:
+            return t2a_cache[win]
         else:
             # T2A: the learned empty sequences at the WINDOW duration — start-invariant
-            clip_w, sync_w = t2a_features(bundle.mmdit_params, cfg, win_duration, batch_size=1)
-        return prepare_cfg_features(
+            clip_w, sync_w = t2a_features(
+                bundle.mmdit_params, cfg, win / cfg.model.audio_frame_rate, batch_size=1)
+        feats = prepare_cfg_features(
             bundle.mmdit_params, text_feat, uncond_text_feat, clip_w, sync_w,
             batch_size=batch_size, use_cfg=use_cfg, text_bucket=bucket,
         )
-
-    features = None if v2a else window_features(0)  # T2A: identical for every window
+        if not v2a:
+            t2a_cache[win] = feats
+        return feats
 
     from foley_tpu.ops.attention import resolve_attn_impl
 
     attn_impl = resolve_attn_impl(attn_impl, win_frames)
     noise = prepare_latents(
-        jax.random.PRNGKey(seed), batch_size, max(total_frames, win_frames),
+        jax.random.PRNGKey(seed), batch_size, total_frames,
         cfg.model.audio_vae_latent_dim,
     )
 
-    stitched = np.zeros((batch_size, max(total_frames, win_frames),
+    stitched = np.zeros((batch_size, total_frames,
                          cfg.model.audio_vae_latent_dim), np.float32)
     if ctx_frames:
         prefix = np.asarray(known_prefix, np.float32)
@@ -338,33 +383,34 @@ def _prepare_long(
             prefix = np.repeat(prefix, batch_size, axis=0)
         stitched[:, :ctx_frames] = prefix
     return _LongPrep(
-        total_frames=total_frames, win_frames=win_frames, sched=sched, noise=noise,
-        stitched=stitched, window_features=window_features, features=features,
+        total_frames=total_frames, win_frames=win_frames, sched=sched, sizes=sizes,
+        noise=noise, stitched=stitched, window_features=window_features,
         attn_impl=attn_impl, use_cfg=use_cfg, v2a=v2a,
     )
 
 
 def _run_windows(
     bundle, prep: _LongPrep, *, guidance_scale: float, num_inference_steps: int
-) -> Iterator[Tuple[int, int]]:
+) -> Iterator[Tuple[int, int, int]]:
     """Denoise the window schedule in order, writing each window into ``prep.stitched``;
-    yields ``(window_index, start_frame)`` after each window's latents are FINAL (every
-    later window clamps its overlap to these exact values, so they never change)."""
+    yields ``(window_index, start_frame, win_frames)`` after each window's latents are
+    FINAL (every later window clamps its overlap to these exact values, so they never
+    change)."""
     cfg = bundle.pipeline_cfg
-    for w_i, (start, known) in enumerate(prep.sched):
-        win_noise = prep.noise[:, start : start + prep.win_frames]
+    for w_i, ((start, known), win) in enumerate(zip(prep.sched, prep.sizes)):
+        win_noise = prep.noise[:, start : start + win]
         if known:
             known_lat = jnp.asarray(prep.stitched[:, start : start + known])
         else:
             known_lat = None
         logger.info(
             f"long-form window {w_i + 1}/{len(prep.sched)}: "
-            f"frames [{start}, {start + prep.win_frames})"
+            f"frames [{start}, {start + win})"
             + (f", {known} clamped" if known else "")
         )
         win_out = denoise_latents(
             bundle.mmdit_params, win_noise,
-            prep.window_features(start) if prep.v2a else prep.features,
+            prep.window_features(start, win),
             jnp.float32(guidance_scale),
             known_lat,
             cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
@@ -378,8 +424,8 @@ def _run_windows(
         )
         # the clamped prefix equals the previous tail exactly; copying the whole window is
         # therefore seamless (asserted in tests at fp32 equality)
-        prep.stitched[:, start : start + prep.win_frames] = np.asarray(win_out)
-        yield w_i, start
+        prep.stitched[:, start : start + win] = np.asarray(win_out)
+        yield w_i, start, win
 
 
 class StreamChunk(NamedTuple):
@@ -420,6 +466,7 @@ def generate_audio_long_stream(
     text_bucket: Optional[int] = None,
     fetch_pcm16: bool = True,
     snap_to_window_grid: bool = False,
+    first_window_s: Optional[float] = None,
 ) -> Iterator[StreamChunk]:
     """``generate_audio_long`` as a stream: yield each window's finalized audio as soon
     as it is denoised, instead of decoding once at the end.
@@ -440,7 +487,7 @@ def generate_audio_long_stream(
         clip_feat=clip_feat, sync_feat=sync_feat, window_s=window_s,
         overlap_s=overlap_s, batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, snap_to_window_grid=snap_to_window_grid,
-        use_cfg=guidance_scale > 1.0,
+        use_cfg=guidance_scale > 1.0, first_window_s=first_window_s,
     )
     yield from _stream_segments(
         bundle, prep, duration_s=duration_s, guidance_scale=guidance_scale,
@@ -466,6 +513,7 @@ def continue_audio(
     text_bucket: Optional[int] = None,
     return_latents: bool = False,
     fetch_pcm16: bool = True,
+    first_window_s: Optional[float] = None,
 ) -> GenerationResult:
     """Generate ``extra_duration_s`` seconds CONTINUING an existing waveform.
 
@@ -489,6 +537,7 @@ def continue_audio(
         context_s=context_s, window_s=window_s, overlap_s=overlap_s,
         batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, use_cfg=guidance_scale > 1.0,
+        first_window_s=first_window_s,
     )
     t1 = time.perf_counter()
     parts = [
@@ -535,6 +584,7 @@ def continue_audio_stream(
     attn_impl: str = "auto",
     text_bucket: Optional[int] = None,
     fetch_pcm16: bool = True,
+    first_window_s: Optional[float] = None,
 ) -> Iterator[StreamChunk]:
     """``continue_audio`` as a stream (chunks are bitwise-identical to the batch path;
     ``start_sample`` is relative to the NEW audio, i.e. chunk 0 starts at 0)."""
@@ -544,6 +594,7 @@ def continue_audio_stream(
         context_s=context_s, window_s=window_s, overlap_s=overlap_s,
         batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, use_cfg=guidance_scale > 1.0,
+        first_window_s=first_window_s,
     )
     base = ctx_frames * cfg.dac.hop_length
     for ch in _stream_segments(
@@ -557,6 +608,7 @@ def continue_audio_stream(
 def _continuation_prep(
     bundle, audio, text_feat, uncond_text_feat, extra_duration_s, *,
     context_s, window_s, overlap_s, batch_size, seed, attn_impl, text_bucket, use_cfg,
+    first_window_s=None,
 ) -> Tuple[_LongPrep, int, float]:
     """Encode the context tail and build the window plan shared by ``continue_audio``
     and ``continue_audio_stream`` -> (prep, ctx_frames, total_duration_s)."""
@@ -597,7 +649,7 @@ def _continuation_prep(
         clip_feat=None, sync_feat=None, window_s=window_s, overlap_s=overlap_s,
         batch_size=batch_size, seed=seed, attn_impl=attn_impl,
         text_bucket=text_bucket, snap_to_window_grid=False,
-        use_cfg=use_cfg, known_prefix=np.asarray(z),
+        use_cfg=use_cfg, known_prefix=np.asarray(z), first_window_s=first_window_s,
     )
     return prep, ctx_frames, total_duration_s
 
@@ -620,9 +672,9 @@ def _stream_segments(
     n_total = emitted_samples(duration_s, sr)
     n_windows = len(prep.sched)
     prev_cut = emit_from_frame  # continuation: the known context is not re-emitted
-    for w_i, start in _run_windows(bundle, prep, guidance_scale=guidance_scale,
-                                   num_inference_steps=num_inference_steps):
-        avail = start + prep.win_frames  # latent frames finalized so far
+    for w_i, start, win in _run_windows(bundle, prep, guidance_scale=guidance_scale,
+                                        num_inference_steps=num_inference_steps):
+        avail = start + win  # latent frames finalized so far
         last = w_i == n_windows - 1
         # hold back a halo before the emit cut so the next chunk can decode it with
         # true right context; the final window emits through the true sequence edge

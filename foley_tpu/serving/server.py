@@ -388,6 +388,18 @@ class FoleyService:
             )
         steps = int(request.get("steps", self.default_steps))
         batch = int(request.get("batch_size", 1))
+        # optional latency ramp: a smaller first window cuts time-to-first-audio to
+        # ~first_window_s/window_s of a full window's denoise (longform._prepare_long);
+        # windowed (long-form/continuation) paths only — in-bucket single shots have no
+        # window schedule to ramp. Validated HERE, before the response header is sent,
+        # so bad requests get a clean 500 instead of a mid-stream disconnect.
+        ramp = {}
+        if request.get("first_window_s") is not None:
+            if not long_form and cont_wav is None:
+                raise ValueError(
+                    "first_window_s applies to windowed streams only (duration over the "
+                    "largest bucket, or continuation); this request is single-shot")
+            ramp["first_window_s"] = float(request["first_window_s"])
         clip_feat, sync_feat, _ = self._visual_features(request, bucket_duration)
         if self.text_encoder is not None:
             from foley_tpu.models import clap as clap_mod
@@ -416,7 +428,7 @@ class FoleyService:
                 for ch in continue_audio_stream(
                     self.bundle, cont_wav, text, uncond, duration,
                     context_s=float(request.get("context_s", 4.0)),
-                    window_s=default_window_s(self.bundle.pipeline_cfg), **common,
+                    window_s=default_window_s(self.bundle.pipeline_cfg), **common, **ramp,
                 ):
                     yield {"pcm": ch.pcm16[0].tobytes(),
                            "start_sample": ch.start_sample, "final": ch.final}
@@ -427,7 +439,7 @@ class FoleyService:
                     self.bundle, text, uncond, duration,
                     clip_feat=clip_feat, sync_feat=sync_feat,
                     window_s=float(self.durations[-1]),
-                    snap_to_window_grid=True, **common,
+                    snap_to_window_grid=True, **common, **ramp,
                 ):
                     yield {"pcm": ch.pcm16[0].tobytes(),
                            "start_sample": ch.start_sample, "final": ch.final}

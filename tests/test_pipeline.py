@@ -755,3 +755,98 @@ def test_emitted_samples_float_guard(live_bundle):
                          window_s=2.0, num_inference_steps=1, seed=2, text_bucket=16)
     assert res.audio_first.shape == (1, 1, emitted_samples(0.64, sr))
     assert res.audio_first.shape[-1] == 32 * CFG.dac.hop_length
+
+
+def test_first_window_ramp_stream_matches_batch(live_bundle):
+    """Streaming latency ramp (first_window_s): a small preamble window is denoised and
+    emitted first (TTFA ~ preamble/window of a full window), then the NORMAL schedule
+    runs with the preamble clamped as window 1's known prefix — so stream==batch still
+    holds bitwise-after-int16, chunks stay sample-contiguous, and the first chunk is the
+    preamble's (win - halo) frames."""
+    from foley_tpu.pipeline.longform import (
+        _STREAM_HALO,
+        generate_audio_long,
+        generate_audio_long_stream,
+    )
+
+    text, uncond = _text()
+    kwargs = dict(window_s=2.0, overlap_s=0.5, guidance_scale=4.5, num_inference_steps=4,
+                  batch_size=1, seed=11, text_bucket=16, first_window_s=1.0)
+    sr, hop = CFG.dac.sample_rate, CFG.dac.hop_length
+    batch = generate_audio_long(live_bundle, text, uncond, 3.0, **kwargs)
+    chunks = list(generate_audio_long_stream(live_bundle, text, uncond, 3.0, **kwargs))
+    # schedule: preamble [0,50) + the normal 2-window plan clamping it -> 3 chunks
+    assert len(chunks) == 3
+    assert [c.n_windows for c in chunks] == [3, 3, 3]
+    assert chunks[-1].final and not any(c.final for c in chunks[:-1])
+    assert chunks[0].audio.shape[-1] == (CFG.latent_length(1.0) - _STREAM_HALO) * hop
+    pos = 0
+    for c in chunks:
+        assert c.start_sample == pos
+        pos += c.audio.shape[-1]
+    assert pos == 3 * sr
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+
+    # the ramp re-denoises [0, window) with the preamble clamped: a DIFFERENT schedule
+    # from the no-ramp plan, so outputs legitimately differ (documented semantics)
+    no_ramp = generate_audio_long(
+        live_bundle, text, uncond, 3.0, **{**kwargs, "first_window_s": None})
+    assert np.abs(no_ramp.audio_batch - batch.audio_batch).max() > 1e-4
+
+    # ramp >= window is a config error, not a silent fallback
+    with pytest.raises(ValueError, match="first_window_s"):
+        generate_audio_long(live_bundle, text, uncond, 3.0,
+                            **{**kwargs, "first_window_s": 2.0})
+    # ramp longer than the whole request: pointless -> plain single-window path
+    short = generate_audio_long(live_bundle, text, uncond, 0.8, **kwargs)
+    assert short.audio_batch.shape[-1] == int(0.8 * sr)
+
+
+def test_first_window_ramp_v2a(live_bundle):
+    """V2A + ramp: the preamble slices the full features at [0, first_window) (start 0 is
+    always on the 8 s conditioning grid) and the main schedule is unchanged."""
+    from foley_tpu.pipeline.longform import (
+        generate_audio_long,
+        generate_audio_long_stream,
+        plan_v2a_long,
+    )
+
+    text, uncond = _text()
+    feat_dur, _, _ = plan_v2a_long(CFG, 20.0, window_s=16.0, overlap_s=4.0)
+    clip_len, sync_len = CFG.t2a_lengths(feat_dur)
+    rng = np.random.default_rng(7)
+    clip_full = jnp.asarray(rng.normal(size=(1, clip_len, CFG.model.clip_dim)), jnp.float32)
+    sync_full = jnp.asarray(rng.normal(size=(1, sync_len, CFG.model.sync_feat_dim)),
+                            jnp.float32)
+    kwargs = dict(clip_feat=clip_full, sync_feat=sync_full, window_s=16.0, overlap_s=4.0,
+                  guidance_scale=4.5, num_inference_steps=2, batch_size=1, seed=3,
+                  text_bucket=16, first_window_s=8.0)
+    batch = generate_audio_long(live_bundle, text, uncond, 20.0, **kwargs)
+    chunks = list(generate_audio_long_stream(live_bundle, text, uncond, 20.0, **kwargs))
+    sr = CFG.dac.sample_rate
+    assert sum(c.audio.shape[-1] for c in chunks) == 20 * sr
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+    assert np.all(np.isfinite(streamed)) and np.abs(streamed).max() > 0
+
+
+def test_first_window_ramp_continuation(live_bundle):
+    """Continuation + ramp compose: the context clamps inside the preamble window; a
+    context longer than the preamble is rejected up front."""
+    from foley_tpu.pipeline.longform import continue_audio, continue_audio_stream
+
+    text, uncond = _text()
+    sr = CFG.dac.sample_rate
+    src = np.clip(np.random.default_rng(4).normal(scale=0.1, size=2 * sr), -1, 1
+                  ).astype(np.float32)
+    kwargs = dict(context_s=0.5, window_s=2.0, overlap_s=0.5, guidance_scale=4.5,
+                  num_inference_steps=2, seed=9, text_bucket=16, first_window_s=1.0)
+    batch = continue_audio(live_bundle, src, text, uncond, 3.0, **kwargs)
+    chunks = list(continue_audio_stream(live_bundle, src, text, uncond, 3.0, **kwargs))
+    assert batch.audio_batch.shape[-1] == 3 * sr
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+    with pytest.raises(ValueError, match="context"):
+        continue_audio(live_bundle, src, text, uncond, 3.0,
+                       **{**kwargs, "context_s": 1.5})

@@ -562,3 +562,26 @@ def test_continuation_stream(server):
         with wave.open(io.BytesIO(r.read())) as f:
             wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
     assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
+
+
+def test_stream_first_window_ramp(server):
+    """first_window_s latency ramp: the over-bucket stream honors it (sample accounting
+    unchanged — the ramp only re-slices the window schedule); single-shot requests
+    reject the knob with a clean pre-header 500."""
+    def post(body):
+        return urllib.request.urlopen(
+            urllib.request.Request(server + "/generate", data=json.dumps(body).encode()),
+            timeout=600)
+
+    req = {"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3,
+           "response": "pcm16_stream", "first_window_s": 0.8}
+    with post(req) as r:
+        total = int(r.headers["X-Total-Samples"])
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert total == int(2.5 * 48000) and pcm.shape[0] == total
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post({"prompt": "clink", "duration": 1.0, "steps": 2,
+              "response": "pcm16_stream", "first_window_s": 0.8})
+    assert exc.value.code == 500
+    assert "first_window_s" in json.loads(exc.value.read())["error"]

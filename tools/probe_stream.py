@@ -6,7 +6,8 @@ chunk is on the host (one window denoised + its segment decoded) vs the total wa
 the whole duration — the batch path makes a listener wait for the latter. Run alone on
 the TPU (processes contend).
 
-    python tools/probe_stream.py [duration_s]   # default 90
+    python tools/probe_stream.py [duration_s]                    # default 90
+    python tools/probe_stream.py 90 --first_window 8             # latency-ramp TTFA
 """
 
 import json
@@ -29,6 +30,10 @@ def main():
     if "--steps" in argv:
         steps = int(argv[argv.index("--steps") + 1])
         del argv[argv.index("--steps") : argv.index("--steps") + 2]
+    first_window = None
+    if "--first_window" in argv:
+        first_window = float(argv[argv.index("--first_window") + 1])
+        del argv[argv.index("--first_window") : argv.index("--first_window") + 2]
     dur = float(argv[0]) if argv else 90.0
     import jax
     import jax.numpy as jnp
@@ -60,6 +65,7 @@ def main():
         for ch in generate_audio_long_stream(
             bundle, text, text, dur, window_s=min(30.0, cfg.max_duration_s), guidance_scale=4.5,
             num_inference_steps=steps, batch_size=1, seed=seed,
+            first_window_s=first_window,
         ):
             if ttfa is None:
                 ttfa = time.perf_counter() - t0
@@ -70,8 +76,9 @@ def main():
     ttfa, wall, chunks = run(1)
     total_samples = sum(c.audio.shape[-1] for c in chunks)
     first_audio_s = chunks[0].audio.shape[-1] / chunks[0].sample_rate
+    ramp_tag = f"_ramp{int(first_window)}s" if first_window else ""
     print(json.dumps({
-        "measure": f"stream_ttfa_{int(dur)}s_{config}_bf16_{steps}step_cfg",
+        "measure": f"stream_ttfa_{int(dur)}s_{config}_bf16_{steps}step_cfg{ramp_tag}",
         "ttfa_s": round(ttfa, 2),
         "total_wall_s": round(wall, 2),
         "first_chunk_audio_s": round(first_audio_s, 2),
