@@ -66,6 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "prefix — flow-match inpainting); writes the NEW audio to --output")
     p.add_argument("--context_s", type=float, default=4.0,
                    help="--continue_audio: seconds of the source's tail to condition on")
+    p.add_argument("--stream_pcm", action="store_true",
+                   help="stream raw int16 mono PCM to stdout chunk-by-chunk as long-form "
+                        "windows finalize (the CLI analog of serving's pcm16_stream; "
+                        "pipe to `aplay -f S16_LE -r 48000 -c 1`); T2A prompts and "
+                        "--continue_audio only; logs go to stderr")
+    p.add_argument("--first_window", type=float, default=None,
+                   help="--stream_pcm latency ramp: denoise/emit this many seconds first "
+                        "(time-to-first-audio ~ first_window/window of a full window's "
+                        "cost; measured 2.61 s vs 9.14 s at XXL 90 s)")
     p.add_argument("--progress", action="store_true",
                    help="log a tick per denoise step (the reference's ProgressBar UX); "
                         "off by default — the loop is one jitted scan and ticks add a "
@@ -95,6 +104,12 @@ def main(argv=None) -> int:
     from foley_tpu.utils.logging import get_logger
 
     logger = get_logger()
+
+    if args.stream_pcm and (args.single_video or args.audio_input or args.csv_path
+                            or args.desync_score or args.gradio):
+        print("error: --stream_pcm supports prompt-only (T2A) and --continue_audio runs",
+              file=sys.stderr)
+        return 2
 
     if args.gradio:
         # Web-UI mode: hand off to the serving stack (warmup + HTTP server + browser UI).
@@ -175,6 +190,13 @@ def main(argv=None) -> int:
         for key in ("siglip2", "synchformer"):
             if key in dependencies:
                 dependencies[key].preprocess = args.v2a_preprocess
+
+        if args.stream_pcm:
+            return _stream_pcm(args, foley_model, dependencies, logger)
+        if args.first_window is not None:
+            print("error: --first_window is a --stream_pcm latency ramp (batch outputs "
+                  "gain nothing from it)", file=sys.stderr)
+            return 2
 
         if args.continue_audio:
             return _continue_audio(args, foley_model, dependencies, logger)
@@ -287,21 +309,12 @@ def _edit_audio(args, foley_model, dependencies, logger) -> int:
     return 0
 
 
-def _continue_audio(args, foley_model, dependencies, logger) -> int:
-    """Continue an existing WAV by --duration seconds (pipeline/longform.py)."""
-    import wave as wave_mod
-
+def _bundle_and_text(args, foley_model, dependencies, logger):
+    """The ModelBundle + (text, uncond) features the longform entry points consume —
+    shared by --continue_audio and --stream_pcm."""
     import jax.numpy as jnp
-    import numpy as np
 
-    from foley_tpu.io.audio import write_wav
     from foley_tpu.pipeline.generate import ModelBundle
-    from foley_tpu.pipeline.longform import continue_audio
-
-    with wave_mod.open(args.continue_audio) as f:
-        assert f.getframerate() == 48000, "continuation input must be 48 kHz"
-        pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2").astype(np.float32) / 32767.0
-        wav = pcm.reshape(-1, f.getnchannels()).mean(axis=1)  # mono mixdown
 
     cfg = foley_model["cfg"]
     bundle = ModelBundle(
@@ -319,7 +332,72 @@ def _continue_audio(args, foley_model, dependencies, logger) -> int:
     else:
         text = uncond = jnp.zeros((1, cfg.model.text_length, cfg.model.condition_dim), jnp.float32)
         logger.warning("CLAP unavailable; using zero text features")
+    return bundle, text, uncond
 
+
+def _read_wav_mono(path: str):
+    """48 kHz WAV -> mono float32 [-1, 1] (stdlib reader; mixes multi-channel down)."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(path) as f:
+        assert f.getframerate() == 48000, "input WAV must be 48 kHz"
+        pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2").astype(np.float32) / 32767.0
+        return pcm.reshape(-1, f.getnchannels()).mean(axis=1)
+
+
+def _stream_pcm(args, foley_model, dependencies, logger, out=None) -> int:
+    """--stream_pcm: raw int16 mono PCM to stdout chunk-by-chunk as long-form windows
+    finalize (the CLI analog of serving's ``response=pcm16_stream``); pipe to
+    ``aplay -f S16_LE -r 48000 -c 1``. Logs go to stderr, so piping stays clean.
+    T2A prompts and --continue_audio only (V2A needs the sampler node's encoders)."""
+    from foley_tpu.pipeline.longform import (
+        continue_audio_stream,
+        default_window_s,
+        generate_audio_long_stream,
+    )
+
+    if args.single_video or args.audio_input or args.csv_path:
+        print("error: --stream_pcm supports prompt-only (T2A) and --continue_audio runs",
+              file=sys.stderr)
+        return 1
+    bundle, text, uncond = _bundle_and_text(args, foley_model, dependencies, logger)
+    window_s = default_window_s(bundle.pipeline_cfg)
+    common = dict(
+        guidance_scale=args.guidance_scale, num_inference_steps=args.num_inference_steps,
+        batch_size=args.batch_size, seed=args.seed, window_s=window_s,
+        first_window_s=args.first_window,
+    )
+    if args.continue_audio:
+        chunks = continue_audio_stream(
+            bundle, _read_wav_mono(args.continue_audio), text, uncond, args.duration,
+            context_s=args.context_s, **common)
+    else:
+        chunks = generate_audio_long_stream(bundle, text, uncond, args.duration, **common)
+
+    out = out if out is not None else sys.stdout.buffer
+    t0 = time.perf_counter()
+    total = 0
+    for ch in chunks:
+        if total == 0:
+            logger.info(f"first audio after {time.perf_counter() - t0:.2f}s")
+        out.write(ch.pcm16[0].tobytes())
+        out.flush()
+        total += ch.pcm16.shape[-1]
+    logger.info(
+        f"streamed {total / 48000:.2f}s of audio ({total} samples) "
+        f"in {time.perf_counter() - t0:.2f}s wall")
+    return 0
+
+
+def _continue_audio(args, foley_model, dependencies, logger) -> int:
+    """Continue an existing WAV by --duration seconds (pipeline/longform.py)."""
+    from foley_tpu.io.audio import write_wav
+    from foley_tpu.pipeline.longform import continue_audio
+
+    wav = _read_wav_mono(args.continue_audio)
+    bundle, text, uncond = _bundle_and_text(args, foley_model, dependencies, logger)
     result = continue_audio(
         bundle, wav, text, uncond, args.duration,
         context_s=args.context_s, guidance_scale=args.guidance_scale,
