@@ -42,6 +42,22 @@ logger = get_logger()
 SOLVERS = ["euler", "heun-2", "midpoint-2", "kutta-4"]
 
 
+def _merge_lora_if_given(params: Dict, lora_path: str, lora_scale: float) -> Dict:
+    """Fold a trained adapter into the loaded weights (``models/lora.py::merge_lora``).
+
+    Runs after the precision cast (the merge targets the serving dtype) and before any
+    quantization (quantized storage should hold the ADAPTED weights). The adapter's
+    recommended scale (lora_meta.json) multiplies the widget scale."""
+    if not lora_path:
+        return params
+    from foley_tpu.models.lora import load_lora, merge_lora
+
+    lora, meta_scale = load_lora(lora_path)
+    params = merge_lora(params, lora, scale=float(lora_scale) * meta_scale)
+    logger.info(f"LoRA merged from {lora_path} (scale {float(lora_scale) * meta_scale:g})")
+    return params
+
+
 class HunyuanModelLoader:
     """Loads the main MMDiT checkpoint (reference ``nodes.py:57-151``)."""
 
@@ -53,7 +69,14 @@ class HunyuanModelLoader:
                 "precision": (["auto", "bf16", "fp16", "fp32"], {"default": "auto"}),
                 "quantization": (["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic", "int4"], {"default": "none"}),
             },
-            "optional": {"config": (["xxl", "xl", "tiny"], {"default": "xxl"})},
+            "optional": {
+                "config": (["xxl", "xl", "tiny"], {"default": "xxl"}),
+                # LoRA adapter dir (training/loop.py::export_lora): merged into the
+                # weights at load — zero runtime cost, hoists/quantization see the
+                # adapted weights. lora_scale=0 disables without reloading.
+                "lora_path": ("STRING", {"default": ""}),
+                "lora_scale": ("FLOAT", {"default": 1.0, "min": -4.0, "max": 4.0}),
+            },
         }
 
     RETURN_TYPES = ("FOLEY_MODEL",)
@@ -61,13 +84,15 @@ class HunyuanModelLoader:
     CATEGORY = "HunyuanVideoFoley-TPU"
 
     def load_model(self, model_name: str, precision: str = "auto",
-                   quantization: str = "none", config: str = "xxl"):
+                   quantization: str = "none", config: str = "xxl",
+                   lora_path: str = "", lora_scale: float = 1.0):
         import os
 
         cfg = get_config(config)
         if os.path.isdir(model_name):
             # pre-converted orbax artifact (python -m foley_tpu.io.convert)
-            return self._load_orbax(model_name, precision, quantization, cfg)
+            return self._load_orbax(model_name, precision, quantization, cfg,
+                                    lora_path=lora_path, lora_scale=lora_scale)
         sd = load_torch_state_dict(model_name)
         ckpt_fp8 = detect_ckpt_fp8(sd)
         major = detect_ckpt_major_precision(sd)
@@ -82,6 +107,7 @@ class HunyuanModelLoader:
         params = cast_params(
             params, dtype, predicate=lambda path, leaf: leaf.dtype not in FP8_DTYPES
         )
+        params = _merge_lora_if_given(params, lora_path, lora_scale)
         if quantization != "none":
             qmode = quantization
             if qmode == "auto":
@@ -108,7 +134,8 @@ class HunyuanModelLoader:
         logger.info(f"MMDiT loaded: {param_bytes(params) / 2**30:.2f} GiB resident ({precision})")
         return ({"params": params, "cfg": cfg, "dtype": dtype},)
 
-    def _load_orbax(self, path: str, precision: str, quantization: str, cfg: PipelineConfig):
+    def _load_orbax(self, path: str, precision: str, quantization: str, cfg: PipelineConfig,
+                    lora_path: str = "", lora_scale: float = 1.0):
         import os
 
         from foley_tpu.core.dtypes import FP8_DTYPES
@@ -127,6 +154,7 @@ class HunyuanModelLoader:
             precision = max(sizes, key=sizes.get) if sizes else "bf16"
         dtype = resolve_dtype(precision)
         params = cast_params(params, dtype, predicate=lambda p, l: l.dtype not in FP8_DTYPES)
+        params = _merge_lora_if_given(params, lora_path, lora_scale)
         if quantization != "none":
             qmode = "fp8_e4m3fn" if quantization == "auto" else quantization
             if qmode.startswith("int8"):

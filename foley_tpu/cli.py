@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
     p.add_argument("--quantization", type=str, default="none",
                    choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic", "int4"])
+    p.add_argument("--lora", type=str, default=None, metavar="DIR",
+                   help="LoRA adapter dir (training/loop.py::export_lora) merged into the "
+                        "model weights at load (before any --quantization)")
+    p.add_argument("--lora_scale", type=float, default=1.0,
+                   help="multiplier on the adapter's own recommended scale; 0 disables")
     p.add_argument("--output", type=str, default="output.wav")
     p.add_argument("--merge_video", action="store_true",
                    help="Mux generated audio onto --single_video with ffmpeg")
@@ -125,6 +130,8 @@ def main(argv=None) -> int:
                       "--v2a_preprocess", args.v2a_preprocess]
         if args.mesh:
             serve_argv += ["--mesh", args.mesh]
+        if args.lora:
+            serve_argv += ["--lora", args.lora, "--lora_scale", str(args.lora_scale)]
         if args.random_init:
             serve_argv += ["--random_init", args.random_init]
         elif args.model_path:
@@ -146,6 +153,11 @@ def main(argv=None) -> int:
         enable_compilation_cache()
         if args.random_init:
             foley_model = HunyuanModelLoader.init_random(args.random_init, args.precision, args.seed)
+            if args.lora:
+                from foley_tpu.api.nodes import _merge_lora_if_given
+
+                foley_model["params"] = _merge_lora_if_given(
+                    foley_model["params"], args.lora, args.lora_scale)
             from foley_tpu.configs import get_config
             from foley_tpu.models import dac_vae
             import jax
@@ -174,6 +186,8 @@ def main(argv=None) -> int:
                 precision="auto" if args.precision == "bf16" else args.precision,
                 quantization=args.quantization,
                 config=args.config,
+                lora_path=args.lora or "",
+                lora_scale=args.lora_scale,
             )
             deps_loader = HunyuanDependenciesLoader()
             # Encoders colocated under the model dir load automatically (clap/, siglip2/ —

@@ -5,6 +5,7 @@ from foley_tpu.models import (
     dac_discriminator,
     dac_losses,
     dac_vae,
+    lora,
     mmdit,
     quantize,
     siglip2,
@@ -19,6 +20,7 @@ __all__ = [
     "dac_discriminator",
     "dac_losses",
     "dac_vae",
+    "lora",
     "mmdit",
     "quantize",
     "siglip2",

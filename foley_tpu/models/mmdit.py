@@ -692,6 +692,8 @@ def apply(
     text_kv=None,
     triple_mods=None,
     visual_rows_shared: bool = False,
+    lora=None,
+    lora_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Full forward pass (reference ``hifi_foley.py:707-924``).
 
@@ -710,9 +712,19 @@ def apply(
             set it). The visual-derived projections (sync_in chain, visual_proj, and every
             single block's per-token modulation GEMM — 13% of XXL step FLOPs) then compute
             on the first half and tile. Exact; caller-asserted, never inferred.
+        lora: optional unmerged LoRA tree (``models/lora.py``) — the TRAINING path: each
+            block's effective ``w + lora_scale * a @ b`` is materialized inside the scan
+            body (one block at a time; never a second full weight stack), and gradients
+            flow to the stacked factors. Inference should :func:`lora.merge_lora` at load
+            instead — the hoists (``text_kv``/``triple_mods``) read block weights directly
+            and would silently bypass a runtime adapter, so combining them is rejected.
 
     Returns velocity [B, T, C_latent].
     """
+    if lora is not None:
+        assert text_kv is None and triple_mods is None, (
+            "runtime (unmerged) LoRA is the training path; the denoise hoists read block "
+            "weights directly — use lora.merge_lora(params, lora, scale) for inference")
     bs, tl = x.shape[0], x.shape[1] // cfg.patch_size
     # rows-shared contract: [uncond_half; cond_half] with identical visual halves
     assert not visual_rows_shared or bs % 2 == 0, bs
@@ -781,8 +793,14 @@ def apply(
         audio = audio + sync_add  # injected before block 0 (reference :838-839)
 
     # Per-block hoisted operands ride the stack scan as extra scanned xs, in a fixed
-    # order: [t_k, t_v] (precompute_text_kv) then [a_mod, v_mod] (precompute_triple_mods).
+    # order: the LoRA factor tree, then [t_k, t_v] (precompute_text_kv), then
+    # [a_mod, v_mod] (precompute_triple_mods). LoRA and the hoists are mutually
+    # exclusive (asserted above), but the unpack below stays general.
+    tl_lora = lora.get("triple_blocks") if lora is not None else None
+    sl_lora = lora.get("single_blocks") if lora is not None else None
     extras = ()
+    if tl_lora:
+        extras += (tl_lora,)
     if text_kv is not None:
         extras += tuple(text_kv)
     if triple_mods is not None:
@@ -791,6 +809,11 @@ def apply(
     def triple_body(fetch):
         def body(carry, xs):
             block_params, rest = (xs, ()) if not extras else (xs[0], xs[1:])
+            if tl_lora:
+                from foley_tpu.models.lora import merge_block_lora
+
+                block_params = merge_block_lora(block_params, rest[0], lora_scale)
+                rest = rest[1:]
             block_text_kv = None
             if text_kv is not None:
                 block_text_kv, rest = rest[:2], rest[2:]
@@ -835,7 +858,12 @@ def apply(
     mod_vec = vec_tok_mod if vec_tok_mod is not None else vec_tok
 
     def single_body(fetch):
-        def body(carry, block_params):
+        def body(carry, xs):
+            block_params = xs[0] if sl_lora else xs
+            if sl_lora:
+                from foley_tpu.models.lora import merge_block_lora
+
+                block_params = merge_block_lora(block_params, xs[1], lora_scale)
             if fetch:
                 block_params = jax.device_put(block_params, jax.memory.Space.Device)
             h = single_block_apply(block_params, carry, mod_vec, ropes, cfg,
@@ -844,7 +872,8 @@ def apply(
         return body
 
     audio = _run_stack(params["single_blocks"], audio, single_body, remat, offload_fetch,
-                       prefetch_depth=offload_prefetch)
+                       prefetch_depth=offload_prefetch,
+                       extra_xs=(sl_lora,) if sl_lora else None)
 
     # ---- final layer (reference :916-923); vec is sync_vec if sync_modulation ----
     # 3-D final_vec (either sync flag): reference modulate drops the per-token shift/scale

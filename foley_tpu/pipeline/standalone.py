@@ -42,6 +42,8 @@ def load_model(
     precision: str = "auto",
     quantization: str = "none",
     enable_offload: bool = True,
+    lora_path: str = "",
+    lora_scale: float = 1.0,
 ) -> OffloadModelManager:
     """Build the lazily-loaded five-model dict (reference ``model_utils.load_model``)."""
     cfg = get_config(config)
@@ -52,7 +54,8 @@ def load_model(
         from foley_tpu.api.nodes import HunyuanModelLoader
 
         (fm,) = HunyuanModelLoader().load_model(
-            _find(model_path, _CKPT_FILES["foley"]), precision, quantization, config
+            _find(model_path, _CKPT_FILES["foley"]), precision, quantization, config,
+            lora_path=lora_path, lora_scale=lora_scale,
         )
         return fm
 

@@ -774,6 +774,11 @@ def main(argv=None) -> int:
                             "int4"],
                    help="weight quantization for the checkpoint load (same modes as the "
                         "HunyuanModelLoader node)")
+    p.add_argument("--lora", default="",
+                   help="LoRA adapter dir (training/loop.py::export_lora) merged into the "
+                        "model weights at load, before any --quantization")
+    p.add_argument("--lora_scale", type=float, default=1.0,
+                   help="multiplier on the adapter's own recommended scale")
     p.add_argument("--config", default="xxl", choices=["xxl", "xl", "tiny"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8321)
@@ -838,6 +843,10 @@ def main(argv=None) -> int:
         from foley_tpu.models import dac_vae
 
         fm = HunyuanModelLoader.init_random(args.random_init, args.precision, 0)
+        if args.lora:
+            from foley_tpu.api.nodes import _merge_lora_if_given
+
+            fm["params"] = _merge_lora_if_given(fm["params"], args.lora, args.lora_scale)
         cfg = get_config(args.random_init)
         bundle = ModelBundle(
             mmdit_params=fm["params"],
@@ -860,7 +869,8 @@ def main(argv=None) -> int:
         from foley_tpu.pipeline.standalone import load_model
 
         manager = load_model(args.model_path, config=args.config,
-                             precision=args.precision, quantization=args.quantization)
+                             precision=args.precision, quantization=args.quantization,
+                             lora_path=args.lora, lora_scale=args.lora_scale)
         bundle = ModelBundle(
             mmdit_params=manager.foley["params"],
             dac_params=manager.dac["params"],
