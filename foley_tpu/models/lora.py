@@ -11,9 +11,12 @@ Design (TPU-native, matching the scan-stacked parameter layout of ``models/mmdit
 
 - A LoRA tree mirrors the ``triple_blocks`` / ``single_blocks`` subtrees of the MMDiT
   param pytree. Every targeted dense leaf dict ``{"w": [in, out], ...}`` gets a factor
-  pair ``{"a": [in, r], "b": [r, out]}``; block stacking adds the same leading [L] axis
-  as the base stacks, so the factors ride the SAME ``lax.scan`` over blocks that the base
-  weights do (no per-block Python unrolling, one compiled block body).
+  pair ``{"a": [in, r], "b": [r, out]}``; conv leaves (``w [K, in, out]``) get per-tap
+  pairs ``{"a": [K, in, r], "b": [K, r, out]}`` — a k-tap conv is k stacked dense maps.
+  Block stacking adds the same leading [L] axis as the base stacks, so the factors ride
+  the SAME ``lax.scan`` over blocks that the base weights do (no per-block Python
+  unrolling, one compiled block body), and ``a @ b`` batches every leading axis so one
+  merge expression serves both leaf kinds.
 - Training applies LoRA *unmerged* inside the scan body: each iteration materializes ONE
   block's effective ``w + scale * a @ b`` (a ~200 MB scan temp at XXL, freed per
   iteration) — never a second full weight stack. Gradients flow through the merge to the
@@ -38,13 +41,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: Dense leaves adapted by default: every attention projection and MLP dense in both
-#: block families. The adaLN modulation heads (``audio_mod``/``v_cond_mod``/
-#: ``modulation``) are excluded — they are zero-init in the reference
-#: (``modulate_layers.py:11-13``), so a low-rank delta there is not an *adaptation* of a
-#: pretrained map but a rank-crippled from-scratch matrix; pass explicit ``targets`` to
-#: include them anyway. Conv leaves (3-D ``w``: ``linear1``, ConvMLP, patch embed) are
-#: out of scope — LoRA factorization is defined on dense maps.
+#: Leaves adapted by default: every attention projection and MLP map in both block
+#: families — dense AND conv (the single-stream ``linear1`` k=3 conv and the ``linear2``
+#: ConvMLP convs carry two-thirds of the network depth's MLP/output path; r4 verdict #4).
+#: A k-tap conv is k stacked dense maps, so conv leaves get PER-TAP factor pairs over the
+#: channel dims (``a [.., K, in, r]``/``b [.., K, r, out]`` — ``jnp.matmul`` batches the
+#: leading axes, so the same merge expression serves both leaf kinds). The adaLN
+#: modulation heads (``audio_mod``/``v_cond_mod``/``modulation``) are excluded — they are
+#: zero-init in the reference (``modulate_layers.py:11-13``), so a low-rank delta there is
+#: not an *adaptation* of a pretrained map but a rank-crippled from-scratch matrix; pass
+#: explicit ``targets`` to include them anyway.
 DEFAULT_TARGETS: Set[str] = {
     # triple-stream blocks
     "audio_self_attn_qkv", "audio_self_proj",
@@ -54,6 +60,8 @@ DEFAULT_TARGETS: Set[str] = {
     "fc1", "fc2",  # audio_mlp / v_cond_mlp
     # single-stream blocks
     "linear_qkv",
+    "linear1",   # k=3 conv following attention
+    "linear2",   # ConvMLP (adapts its w1/w2/w3 conv leaves)
 }
 
 
@@ -61,16 +69,26 @@ def _is_dense_leaf(v) -> bool:
     return isinstance(v, dict) and "w" in v and getattr(v["w"], "ndim", 0) in (2, 3)
 
 
-def _init_subtree(key, subtree: Dict, rank: int, targets: Set[str], dtype) -> Dict:
+def _is_conv_leaf(v) -> bool:
+    # stacked conv inside a block subtree: w [L, K, in, out] (ops/nn.py::init_conv1d + the
+    # converter's [L] block stacking)
+    return isinstance(v, dict) and "w" in v and getattr(v["w"], "ndim", 0) == 4
+
+
+def _init_subtree(key, subtree: Dict, rank: int, targets: Set[str], dtype,
+                  adapt_all: bool = False) -> Dict:
     """LoRA factors for one block-family subtree (leaves carry the stacked [L] axis).
-    Per-leaf keys are folded from the path name — deterministic and sibling-independent."""
+    Per-leaf keys are folded from the path name — deterministic and sibling-independent.
+    ``adapt_all``: a targeted non-leaf name (e.g. ``linear2``) adapts every factorable
+    leaf underneath it."""
     import zlib
 
     out: Dict = {}
     for name in sorted(subtree):
         v = subtree[name]
         leaf_key = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
-        if _is_dense_leaf(v) and name in targets:
+        targeted = adapt_all or name in targets
+        if _is_dense_leaf(v) and targeted:
             w = v["w"]
             if w.ndim != 3:  # [L, in, out] — block subtrees are always stacked
                 raise ValueError(f"expected stacked dense at {name}, got {w.shape}")
@@ -80,8 +98,19 @@ def _init_subtree(key, subtree: Dict, rank: int, targets: Set[str], dtype) -> Di
                 "a": jax.random.uniform(leaf_key, (depth, fan_in, rank), dtype, -limit, limit),
                 "b": jnp.zeros((depth, rank, fan_out), dtype),
             }
-        elif isinstance(v, dict) and not _is_dense_leaf(v):
-            sub = _init_subtree(leaf_key, v, rank, targets, dtype)
+        elif _is_conv_leaf(v) and targeted:
+            # per-tap factors: delta[l, k] = a[l, k] @ b[l, k], the k-stacked-dense view
+            # of a conv. Kaiming limit uses the conv's true fan_in = K * in (matching the
+            # base init, ops/nn.py:302-303).
+            depth, ksz, fan_in_c, fan_out = v["w"].shape
+            limit = 1.0 / float(np.sqrt(fan_in_c * ksz))
+            out[name] = {
+                "a": jax.random.uniform(
+                    leaf_key, (depth, ksz, fan_in_c, rank), dtype, -limit, limit),
+                "b": jnp.zeros((depth, ksz, rank, fan_out), dtype),
+            }
+        elif isinstance(v, dict) and not _is_dense_leaf(v) and not _is_conv_leaf(v):
+            sub = _init_subtree(leaf_key, v, rank, targets, dtype, adapt_all=targeted)
             if sub:
                 out[name] = sub
     return out

@@ -74,8 +74,9 @@ def test_runtime_lora_matches_merged(params, inputs):
 
 
 def test_lora_targets_cover_block_denses(params):
-    """Every default-target dense in both block families gets factors with the stacked
-    [L, in, r]/[L, r, out] layout; the zero-init adaLN modulation heads do not."""
+    """Every default-target leaf in both block families gets factors with the stacked
+    [L, ...] layout — dense AND conv (per-tap pairs; r4 verdict #4). The zero-init adaLN
+    modulation heads do not."""
     lora = lora_mod.init_lora(jax.random.PRNGKey(3), params, rank=RANK)
     tb = lora["triple_blocks"]
     assert set(tb) >= {"audio_self_attn_qkv", "text_cross_kv", "audio_mlp", "v_cond_mlp"}
@@ -85,8 +86,19 @@ def test_lora_targets_cover_block_denses(params):
     assert tb["audio_self_attn_qkv"]["a"].shape == (d, h, RANK)
     assert tb["audio_self_attn_qkv"]["b"].shape == (d, RANK, 3 * h)
     sb = lora["single_blocks"]
-    assert set(sb) == {"linear_qkv"}  # conv leaves (linear1/linear2) are out of scope
-    assert sb["linear_qkv"]["a"].shape == (CFG.depth_single_blocks, h, RANK)
+    assert set(sb) == {"linear_qkv", "linear1", "linear2"}
+    ds = CFG.depth_single_blocks
+    assert sb["linear_qkv"]["a"].shape == (ds, h, RANK)
+    # conv leaves: per-tap factor pairs over the channel dims (k stacked dense maps)
+    assert sb["linear1"]["a"].shape == (ds, 3, h, RANK)
+    assert sb["linear1"]["b"].shape == (ds, 3, RANK, h)
+    hid = CFG.conv_mlp_hidden_dim
+    assert set(sb["linear2"]) == {"w1", "w2", "w3"}
+    assert sb["linear2"]["w1"]["a"].shape == (ds, 3, h, RANK)
+    assert sb["linear2"]["w1"]["b"].shape == (ds, 3, RANK, hid)
+    assert sb["linear2"]["w2"]["a"].shape == (ds, 3, hid, RANK)
+    # fresh conv factors are identity too (b zeros) — covered by test_fresh_lora_is_identity
+    assert not np.asarray(sb["linear1"]["b"]).any()
 
 
 def test_lora_rejects_hoisted_inference(params, inputs):
@@ -193,3 +205,65 @@ def test_train_lora_loop_resume_and_export(params, tmp_path):
     assert scale == 1.0
     for a, b in zip(jax.tree.leaves(resumed.lora), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lora_learns_conditioning(params):
+    """Task-level learning capacity (r4 verdict #4): LoRA fine-tuned on ONE (audio,
+    conditioning) pair generates audio measurably closer to the target under the MATCHED
+    visual conditioning than under a mismatched one — i.e. the adapter learns the
+    conditioning->audio association, not just 'loss goes down'. Also the first training
+    path proving conditioning is learned at all (test_parallel only checks loss descent)."""
+    import optax
+
+    from foley_tpu.configs import TINY as PIPE
+    from foley_tpu.models import dac_vae
+    from foley_tpu.sampling.denoise import DenoiseFeatures, denoise_latents, prepare_latents
+    from foley_tpu.training.train import make_lora_train_step
+    from foley_tpu.utils.metrics import spectral_correlation
+
+    rng = np.random.default_rng(11)
+    t_lat = 25
+    target_lat = jnp.asarray(
+        rng.normal(size=(1, t_lat, CFG.audio_vae_latent_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, L_TXT, CFG.condition_dim)).astype(np.float32))
+    clip_a = jnp.asarray(rng.normal(size=(1, L_CLIP, CFG.clip_dim)).astype(np.float32))
+    sync_a = jnp.asarray(rng.normal(size=(1, L_SYNC, CFG.sync_feat_dim)).astype(np.float32))
+    clip_b = jnp.asarray(rng.normal(size=(1, L_CLIP, CFG.clip_dim)).astype(np.float32))
+    sync_b = jnp.asarray(rng.normal(size=(1, L_SYNC, CFG.sync_feat_dim)).astype(np.float32))
+
+    batch = {"latents": target_lat, "cond": cond, "clip_feat": clip_a, "sync_feat": sync_a}
+    init_state, train_step = make_lora_train_step(
+        CFG, params, optimizer=optax.adam(1e-2), compute_dtype=jnp.float32)
+    state = init_state(lora_mod.init_lora(jax.random.PRNGKey(6), params, rank=8))
+    step = jax.jit(train_step)
+    # varied keys: memorize the pair across sigmas/noise draws, not one fixed objective
+    first = last = None
+    for k in jax.random.split(jax.random.PRNGKey(1), 300):
+        state, loss = step(state, batch, k)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert np.isfinite(last) and last < first
+
+    merged = lora_mod.merge_lora(params, state.lora, scale=1.0)
+    noise = prepare_latents(jax.random.PRNGKey(2), 1, t_lat, CFG.audio_vae_latent_dim)
+
+    def gen(clip, sync):
+        feats = DenoiseFeatures(cond=cond, clip_feat=clip, sync_feat=sync)
+        return np.asarray(denoise_latents(
+            merged, noise, feats, jnp.float32(1.0), cfg=CFG, diffusion=PIPE.diffusion,
+            num_steps=16, use_cfg=False, compute_dtype=jnp.float32))
+
+    lat_a, lat_b = gen(clip_a, sync_a), gen(clip_b, sync_b)
+    tgt = np.asarray(target_lat)
+    mse_a = float(np.mean((lat_a - tgt) ** 2))
+    mse_b = float(np.mean((lat_b - tgt) ** 2))
+    assert mse_a < mse_b, (mse_a, mse_b)
+
+    # and in AUDIO space through a (fixed random) DAC decoder: the matched generation is
+    # spectrally closer to the decoded target
+    dac = dac_vae.init(jax.random.PRNGKey(3), PIPE.dac)
+    aud = {k: np.asarray(dac_vae.decode(dac, jnp.asarray(v), PIPE.dac))[0, :, 0]
+           for k, v in {"t": tgt, "a": lat_a, "b": lat_b}.items()}
+    corr_a = spectral_correlation(aud["a"], aud["t"])
+    corr_b = spectral_correlation(aud["b"], aud["t"])
+    assert corr_a > corr_b, (corr_a, corr_b)
