@@ -90,13 +90,17 @@ def denoise_latents(
     mechanism — ``pipeline/longform.py``): the first ``known_frames`` latent frames are
     CLAMPED after every solver step to the training interpolant
     ``(1-sigma)*known + sigma*noise0`` (``training/train.py:9-11`` convention; ``noise0`` is
-    this call's own initial noise for those frames), so at sigma=0 the prefix equals
-    ``known_latents`` exactly while the free suffix denoises conditioned on it through
-    attention. Euler only: multi-stage solvers carry a ``saved_sample`` whose interval-start
-    snapshot a mid-stage clamp would desynchronize.
+    this call's own initial noise for those frames) at the sigma the sample NOMINALLY sits
+    at (``flow_match.interpolant_sigma``: interval boundary for euler / completed stages,
+    the stage's intermediate position mid-interval for multi-stage solvers), so the free
+    suffix always denoises conditioned on a correctly-noised prefix through attention.
+    After the scan the prefix is hard-set to ``known_latents`` — exactness does NOT depend
+    on the trajectory reaching sigma=0 (multi-stage solvers only complete
+    ``num_steps/stages`` intervals in the reference's fixed step budget, flow_match.py:9-14,
+    so their final clamp sigma is interior; euler's is exactly 0 and the hard set is a
+    no-op there). The prefix is known by definition — re-emitting it exactly is the
+    windowed-path contract (every later window clamps to it), not a regeneration.
     """
-    if known_frames and solver != "euler":
-        raise ValueError("known-prefix clamping (long-form windows) supports euler only")
     sigmas = get_sigmas(
         num_steps,
         shift=diffusion.sample_flow_shift,
@@ -151,8 +155,11 @@ def denoise_latents(
         lat, state = solver_step(solver, state, v, lat, sigmas)
         if known_frames:
             # re-project the known prefix onto its interpolant at the sigma the sample now
-            # sits at (euler: step_index counts completed intervals)
-            sig = sigmas[state.step_index]
+            # sits at (stage-aware for multi-stage solvers: heun-2's predictor is at the
+            # interval end, midpoint-2's at the midpoint, ...)
+            from foley_tpu.sampling.flow_match import interpolant_sigma
+
+            sig = interpolant_sigma(solver, state, sigmas)
             clamp = (1.0 - sig) * known_latents.astype(jnp.float32) + sig * known_noise
             lat = jnp.concatenate([clamp, lat[:, known_frames:]], axis=1)
         return (lat, state), None
@@ -165,6 +172,10 @@ def denoise_latents(
     if triple_mods is not None:
         xs = xs + triple_mods  # [S, N, 1, 9H] each: per-step slices feed the block scan
     (final_latents, _), _ = jax.lax.scan(step_fn, init, xs)
+    if known_frames:
+        # hard-set the prefix: exact regardless of the final trajectory sigma (see docstring)
+        final_latents = jnp.concatenate(
+            [known_latents.astype(jnp.float32), final_latents[:, known_frames:]], axis=1)
     return final_latents
 
 

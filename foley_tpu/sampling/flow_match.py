@@ -184,3 +184,32 @@ def solver_step(
 
 def solver_stages(solver: str) -> int:
     return _SOLVER_STAGES[solver]
+
+
+#: Nominal position (fraction of the current sigma interval) of the sample RETURNED by a
+#: solver_step that left the state at inner stage ``s`` — the sigma at which the flow-match
+#: interpolant should be evaluated when clamping a known prefix between stages
+#: (``denoise.py::denoise_latents`` known_frames). Stage 0 means "interval boundary just
+#: completed" (step_index already advanced), so the fraction is 0 of the NEW interval.
+#: heun-2's predictor lands at the interval end; midpoint-2's at the midpoint; kutta-4
+#: uses the classical RK4 stage positions (mid, mid, end) — the clamp sigma is our design
+#: choice (the reference has no windowed mode), the free-region math stays oracle-pinned.
+_STAGE_FRACS = {
+    "euler": (0.0,),
+    "heun-2": (0.0, 1.0),
+    "midpoint-2": (0.0, 0.5),
+    "kutta-4": (0.0, 0.5, 0.5, 1.0),
+}
+
+
+def interpolant_sigma(solver: str, state: SolverState, sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Effective sigma of the sample a ``solver_step`` just returned, given the POST-step
+    ``state``: the sigma to clamp a known prefix's interpolant at. For euler this is
+    ``sigmas[step_index]`` (each call completes one interval); multi-stage solvers sit at
+    an intermediate position of the still-open interval while ``state.stage > 0``."""
+    sig0 = jnp.take(sigmas, state.step_index)
+    if solver == "euler":
+        return sig0
+    fracs = jnp.asarray(_STAGE_FRACS[solver], jnp.float32)
+    sig1 = jnp.take(sigmas, state.step_index + 1)
+    return sig0 + jnp.take(fracs, state.stage) * (sig1 - sig0)

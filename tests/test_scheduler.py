@@ -134,3 +134,33 @@ def test_solver_step_scannable():
     (xf, state), _ = jax.lax.scan(body, (x0, solver_init("heun-2", shape)), None, length=steps)
     assert xf.shape == shape
     assert int(state.step_index) == steps // 2  # heun consumes 2 evals per interval
+
+
+def test_interpolant_sigma_stage_positions():
+    """interpolant_sigma: the clamp sigma tracks the sample's nominal position —
+    interval boundary at stage 0 (post-increment), the solver's stage position
+    mid-interval (heun-2 predictor at the end, midpoint-2 at the midpoint, kutta-4 at
+    mid/mid/end)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foley_tpu.sampling.flow_match import SolverState, get_sigmas, interpolant_sigma
+
+    sigmas = get_sigmas(4)  # [1.0, 0.75, 0.5, 0.25, 0.0]
+
+    def state(stage, step):
+        z = jnp.zeros((1, 2, 2), jnp.float32)
+        return SolverState(stage=jnp.int32(stage), step_index=jnp.int32(step),
+                           d1=z, d2=z, d3=z, saved_sample=z, dt=jnp.float32(0.0))
+
+    assert float(interpolant_sigma("euler", state(0, 1), sigmas)) == 0.75
+    # heun-2: stage 1 = predictor at the interval END
+    np.testing.assert_allclose(float(interpolant_sigma("heun-2", state(1, 0), sigmas)), 0.75)
+    np.testing.assert_allclose(float(interpolant_sigma("heun-2", state(0, 1), sigmas)), 0.75)
+    # midpoint-2: stage 1 = midpoint of the open interval
+    np.testing.assert_allclose(
+        float(interpolant_sigma("midpoint-2", state(1, 0), sigmas)), 0.875)
+    # kutta-4: mid, mid, end
+    np.testing.assert_allclose(float(interpolant_sigma("kutta-4", state(1, 0), sigmas)), 0.875)
+    np.testing.assert_allclose(float(interpolant_sigma("kutta-4", state(2, 0), sigmas)), 0.875)
+    np.testing.assert_allclose(float(interpolant_sigma("kutta-4", state(3, 0), sigmas)), 0.75)
