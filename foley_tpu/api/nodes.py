@@ -178,11 +178,21 @@ class HunyuanModelLoader:
         return (out,)
 
     @staticmethod
-    def init_random(config: str = "tiny", precision: str = "bf16", seed: int = 0):
-        """Build a randomly-initialized model bundle (tests/benchmarks, no checkpoint)."""
+    def init_random(config: str = "tiny", precision: str = "bf16", seed: int = 0,
+                    perturb: bool = False):
+        """Build a randomly-initialized model bundle (tests/benchmarks, no checkpoint).
+
+        ``perturb``: nudge the reference-faithful zero-init leaves (final layer, adaLN
+        heads) so the model emits real velocity — without it the output is the initial
+        noise regardless of conditioning, which hides plumbing bugs in smoke tests
+        (``core/params.py::perturb_zero_leaves``)."""
         cfg = get_config(config)
         dtype = resolve_dtype(precision)
         params = mmdit.init(jax.random.PRNGKey(seed), cfg.model, dtype=dtype)
+        if perturb:
+            from foley_tpu.core.params import perturb_zero_leaves
+
+            params = perturb_zero_leaves(params, jax.random.PRNGKey(seed + 1))
         return {"params": params, "cfg": cfg, "dtype": dtype}
 
 
@@ -507,17 +517,16 @@ class HunyuanFoleySampler:
         cfg = bundle.pipeline_cfg
         if duration > cfg.max_duration_s:
             # beyond the reference's 60 s cap: windowed flow-match inpainting keeps memory
-            # bounded by the window length (pipeline/longform.py). Euler only; V2A windows
-            # slice the full video's features (encoded at plan_v2a_long's duration above).
-            if sampler != "euler":
-                raise ValueError("long-form windowed generation supports the euler sampler only")
+            # bounded by the window length (pipeline/longform.py; any solver — the prefix
+            # clamp is stage-aware). V2A windows slice the full video's features (encoded
+            # at plan_v2a_long's duration above).
             from foley_tpu.pipeline.longform import default_window_s, generate_audio_long
 
             return generate_audio_long(
                 bundle, text_feat, uncond_text_feat, duration,
                 clip_feat=clip_feat, sync_feat=sync_feat,
                 window_s=default_window_s(cfg),  # MUST match the encode path's plan above
-                guidance_scale=cfg_scale, num_inference_steps=steps,
+                guidance_scale=cfg_scale, num_inference_steps=steps, sampler=sampler,
                 batch_size=batch_size, seed=seed,
             )
         return generate_audio(
@@ -661,6 +670,7 @@ class HunyuanFoleyContinuation:
                                                    "condition on (must fit the window)"}),
                 "cfg_scale": ("FLOAT", {"default": 4.5, "min": 1.0, "max": 10.0}),
                 "steps": ("INT", {"default": 50, "min": 10, "max": 100}),
+                "sampler": (SOLVERS, {"default": "euler"}),
                 "batch_size": ("INT", {"default": 1, "min": 1, "max": 6}),
                 "seed": ("INT", {"default": 0, "min": 0, "max": 2**63 - 1}),
                 "force_offload": ("BOOLEAN", {"default": True}),
@@ -686,6 +696,7 @@ class HunyuanFoleyContinuation:
         context_s: float = 4.0,
         cfg_scale: float = 4.5,
         steps: int = 50,
+        sampler: str = "euler",
         batch_size: int = 1,
         seed: int = 0,
         force_offload: bool = True,
@@ -720,7 +731,7 @@ class HunyuanFoleyContinuation:
         result = continue_fn(
             bundle, mono, text_feat, uncond_text_feat, duration,
             context_s=context_s, guidance_scale=cfg_scale,
-            num_inference_steps=steps, batch_size=batch_size, seed=seed,
+            num_inference_steps=steps, sampler=sampler, batch_size=batch_size, seed=seed,
         )
         if force_offload and host_memory_available():
             from foley_tpu.parallel.offload import offload_params

@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default="xxl", choices=["xxl", "xl", "tiny"])
     p.add_argument("--random_init", type=str, default=None, metavar="CONFIG",
                    help="Skip checkpoints; random-init the given config (smoke tests)")
+    p.add_argument("--random_init_perturb", action="store_true",
+                   help="with --random_init: perturb the zero-init leaves so the model "
+                        "emits real velocity (conditioning-sensitive smoke tests; raw "
+                        "init leaves latents at the initial noise)")
     p.add_argument("--single_prompt", type=str, default="")
     p.add_argument("--neg_prompt", type=str, default="noisy, harsh")
     p.add_argument("--single_video", type=str, default=None,
@@ -74,8 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream_pcm", action="store_true",
                    help="stream raw int16 mono PCM to stdout chunk-by-chunk as long-form "
                         "windows finalize (the CLI analog of serving's pcm16_stream; "
-                        "pipe to `aplay -f S16_LE -r 48000 -c 1`); T2A prompts and "
-                        "--continue_audio only; logs go to stderr")
+                        "pipe to `aplay -f S16_LE -r 48000 -c 1`); T2A prompts, "
+                        "--single_video (V2A) and --continue_audio; logs go to stderr")
     p.add_argument("--first_window", type=float, default=None,
                    help="--stream_pcm latency ramp: denoise/emit this many seconds first "
                         "(time-to-first-audio ~ first_window/window of a full window's "
@@ -110,9 +114,13 @@ def main(argv=None) -> int:
 
     logger = get_logger()
 
-    if args.stream_pcm and (args.single_video or args.audio_input or args.csv_path
+    if args.stream_pcm and (args.audio_input or args.csv_path
                             or args.desync_score or args.gradio):
-        print("error: --stream_pcm supports prompt-only (T2A) and --continue_audio runs",
+        print("error: --stream_pcm supports prompt (T2A), --single_video (V2A) and "
+              "--continue_audio runs", file=sys.stderr)
+        return 2
+    if args.stream_pcm and args.single_video and args.continue_audio:
+        print("error: audio continuation is text-conditioned only; drop --single_video",
               file=sys.stderr)
         return 2
 
@@ -152,7 +160,9 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
         if args.random_init:
-            foley_model = HunyuanModelLoader.init_random(args.random_init, args.precision, args.seed)
+            foley_model = HunyuanModelLoader.init_random(
+                args.random_init, args.precision, args.seed,
+                perturb=args.random_init_perturb)
             if args.lora:
                 from foley_tpu.api.nodes import _merge_lora_if_given
 
@@ -356,7 +366,14 @@ def _read_wav_mono(path: str):
     import numpy as np
 
     with wave_mod.open(path) as f:
-        assert f.getframerate() == 48000, "input WAV must be 48 kHz"
+        # ValueError (not assert — survives python -O) mirroring serving's
+        # _continuation_wav: a 24/8-bit or non-48 kHz WAV read as '<i2' would silently
+        # decode to garbage and condition the continuation on noise.
+        if f.getframerate() != 48000:
+            raise ValueError(f"input WAV must be 48 kHz, got {f.getframerate()} Hz")
+        if f.getsampwidth() != 2:
+            raise ValueError(
+                f"input WAV must be 16-bit PCM, got {8 * f.getsampwidth()}-bit")
         pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2").astype(np.float32) / 32767.0
         return pcm.reshape(-1, f.getnchannels()).mean(axis=1)
 
@@ -365,28 +382,46 @@ def _stream_pcm(args, foley_model, dependencies, logger, out=None) -> int:
     """--stream_pcm: raw int16 mono PCM to stdout chunk-by-chunk as long-form windows
     finalize (the CLI analog of serving's ``response=pcm16_stream``); pipe to
     ``aplay -f S16_LE -r 48000 -c 1``. Logs go to stderr, so piping stays clean.
-    T2A prompts and --continue_audio only (V2A needs the sampler node's encoders)."""
+    T2A prompts, V2A (--single_video; windows slice the full video's features, encoded
+    once at ``plan_v2a_long``'s duration) and --continue_audio runs."""
     from foley_tpu.pipeline.longform import (
         continue_audio_stream,
         default_window_s,
         generate_audio_long_stream,
     )
 
-    if args.single_video or args.audio_input or args.csv_path:
-        print("error: --stream_pcm supports prompt-only (T2A) and --continue_audio runs",
-              file=sys.stderr)
+    if args.audio_input or args.csv_path:
+        print("error: --stream_pcm supports prompt (T2A), --single_video (V2A) and "
+              "--continue_audio runs", file=sys.stderr)
         return 1
     bundle, text, uncond = _bundle_and_text(args, foley_model, dependencies, logger)
     window_s = default_window_s(bundle.pipeline_cfg)
     common = dict(
         guidance_scale=args.guidance_scale, num_inference_steps=args.num_inference_steps,
-        batch_size=args.batch_size, seed=args.seed, window_s=window_s,
-        first_window_s=args.first_window,
+        sampler=args.sampler, batch_size=args.batch_size, seed=args.seed,
+        window_s=window_s, first_window_s=args.first_window,
     )
     if args.continue_audio:
         chunks = continue_audio_stream(
             bundle, _read_wav_mono(args.continue_audio), text, uncond, args.duration,
             context_s=args.context_s, **common)
+    elif args.single_video:
+        from foley_tpu.api.nodes import HunyuanFoleySampler
+        from foley_tpu.pipeline.longform import plan_v2a_long
+        from foley_tpu.pipeline.video import read_video_frames
+
+        frames, fps = read_video_frames(args.single_video, dir_fps=args.frames_fps)
+        logger.info(f"read {frames.shape[0]} frames @ {fps} fps")
+        # encode the FULL video's features at the window plan's (possibly snapped)
+        # duration — the same contract the serving route uses (server.py generate_stream);
+        # _prepare_long re-derives the identical plan from (duration, window_s) and each
+        # window consumes its exact slice
+        feat_dur, _, _ = plan_v2a_long(bundle.pipeline_cfg, args.duration, window_s=window_s)
+        clip_feat, sync_feat = HunyuanFoleySampler._encode_video(
+            dependencies, frames, fps, feat_dur, bundle.pipeline_cfg)
+        chunks = generate_audio_long_stream(
+            bundle, text, uncond, args.duration,
+            clip_feat=clip_feat, sync_feat=sync_feat, **common)
     else:
         chunks = generate_audio_long_stream(bundle, text, uncond, args.duration, **common)
 
@@ -415,8 +450,8 @@ def _continue_audio(args, foley_model, dependencies, logger) -> int:
     result = continue_audio(
         bundle, wav, text, uncond, args.duration,
         context_s=args.context_s, guidance_scale=args.guidance_scale,
-        num_inference_steps=args.num_inference_steps, seed=args.seed,
-        batch_size=args.batch_size,
+        num_inference_steps=args.num_inference_steps, sampler=args.sampler,
+        seed=args.seed, batch_size=args.batch_size,
     )
     write_wav(args.output, result.audio_first[0], result.sample_rate)
     logger.info(

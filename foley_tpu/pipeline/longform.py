@@ -104,8 +104,10 @@ def emitted_samples(duration_s: float, sr: int) -> int:
     ``configs._frames``): non-dyadic durations — including the SYNTHETIC
     ``total_frames / rate`` round-trips the continuation path produces — can land one
     ulp below the exact product (3.54 * 48000 = 169919.99999999997) and plain ``int()``
-    would silently drop the last sample. The serving stream header uses this too, so
-    X-Total-Samples always matches what the stream emits."""
+    would silently drop the last sample. The serving stream header uses this for
+    long-form/in-bucket streams so X-Total-Samples matches what the stream emits;
+    continuation headers instead use the latent-grid total (latent_length * hop),
+    because continuation emits whole latent frames only."""
     return int(duration_s * sr + 1e-6)
 
 
@@ -179,6 +181,7 @@ def generate_audio_long(
     overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
+    sampler: str = "euler",
     batch_size: int = 1,
     seed: int = 0,
     attn_impl: str = "auto",
@@ -192,8 +195,11 @@ def generate_audio_long(
 
     Determinism: the noise for the FULL stitched latent sequence is drawn once from
     ``seed``; every window uses its slice, so overlap regions see consistent noise and the
-    result is a pure function of (seed, conditioning, schedule). Euler solver (the clamp's
-    requirement — and the reference's own recommendation, ``nodes.py:227``).
+    result is a pure function of (seed, conditioning, schedule). All four reference
+    solvers work: the prefix clamp is stage-aware and the final prefix is hard-set to the
+    known latents (``sampling/denoise.py`` known_frames), so windows stay final-on-write
+    under any solver. Euler remains the default and the reference's own recommendation
+    (``nodes.py:227``).
 
     V2A: pass ``clip_feat``/``sync_feat`` encoded from the FULL video at
     ``plan_v2a_long()``'s feature_duration_s (and its adjusted window/overlap); each
@@ -218,6 +224,7 @@ def generate_audio_long(
         for ch in _stream_segments(
             bundle, prep, duration_s=duration_s, guidance_scale=guidance_scale,
             num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+            sampler=sampler,
         )
     ]
     t2 = time.perf_counter()
@@ -390,7 +397,8 @@ def _prepare_long(
 
 
 def _run_windows(
-    bundle, prep: _LongPrep, *, guidance_scale: float, num_inference_steps: int
+    bundle, prep: _LongPrep, *, guidance_scale: float, num_inference_steps: int,
+    sampler: str = "euler",
 ) -> Iterator[Tuple[int, int, int]]:
     """Denoise the window schedule in order, writing each window into ``prep.stitched``;
     yields ``(window_index, start_frame, win_frames)`` after each window's latents are
@@ -414,7 +422,7 @@ def _run_windows(
             jnp.float32(guidance_scale),
             known_lat,
             cfg=cfg.model, diffusion=cfg.diffusion, num_steps=num_inference_steps,
-            solver="euler", use_cfg=prep.use_cfg, attn_impl=prep.attn_impl,
+            solver=sampler, use_cfg=prep.use_cfg, attn_impl=prep.attn_impl,
             compute_dtype=bundle.compute_dtype,
             offload_fetch=bundle.offload_fetch, offload_prefetch=bundle.offload_prefetch,
             progress=bundle.progress,
@@ -460,6 +468,7 @@ def generate_audio_long_stream(
     overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
+    sampler: str = "euler",
     batch_size: int = 1,
     seed: int = 0,
     attn_impl: str = "auto",
@@ -475,7 +484,8 @@ def generate_audio_long_stream(
     (the reference has no analog — its 60 s cap makes everything single-shot,
     ``nodes.py:219``). Works because a window's latents are FINAL the moment it is
     denoised: the next window's inpainting clamp reproduces the overlap exactly
-    (sigma=0 endpoint), so nothing emitted is ever revised. Each chunk decodes its
+    (hard-set at the end of the window's denoise — any solver), so nothing emitted is
+    ever revised. Each chunk decodes its
     segment with a ``_STREAM_HALO``-frame halo of true context on both interior sides
     (the same exactness argument as ``dac_vae.decode_chunked``); the held-back halo
     samples are emitted with the NEXT chunk once their right context exists. Chunk
@@ -492,6 +502,7 @@ def generate_audio_long_stream(
     yield from _stream_segments(
         bundle, prep, duration_s=duration_s, guidance_scale=guidance_scale,
         num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
+        sampler=sampler,
     )
 
 
@@ -507,6 +518,7 @@ def continue_audio(
     overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
+    sampler: str = "euler",
     batch_size: int = 1,
     seed: int = 0,
     attn_impl: str = "auto",
@@ -545,7 +557,7 @@ def continue_audio(
         for ch in _stream_segments(
             bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
             num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
-            emit_from_frame=ctx_frames,
+            emit_from_frame=ctx_frames, sampler=sampler,
         )
     ]
     t2 = time.perf_counter()
@@ -579,6 +591,7 @@ def continue_audio_stream(
     overlap_s: Optional[float] = None,
     guidance_scale: float = 4.5,
     num_inference_steps: int = 50,
+    sampler: str = "euler",
     batch_size: int = 1,
     seed: int = 0,
     attn_impl: str = "auto",
@@ -600,7 +613,7 @@ def continue_audio_stream(
     for ch in _stream_segments(
         bundle, prep, duration_s=total_duration_s, guidance_scale=guidance_scale,
         num_inference_steps=num_inference_steps, fetch_pcm16=fetch_pcm16,
-        emit_from_frame=ctx_frames,
+        emit_from_frame=ctx_frames, sampler=sampler,
     ):
         yield ch._replace(start_sample=ch.start_sample - base)
 
@@ -656,7 +669,8 @@ def _continuation_prep(
 
 def _stream_segments(
     bundle, prep: _LongPrep, *, duration_s: float, guidance_scale: float,
-    num_inference_steps: int, fetch_pcm16: bool, emit_from_frame: int = 0
+    num_inference_steps: int, fetch_pcm16: bool, emit_from_frame: int = 0,
+    sampler: str = "euler",
 ) -> Iterator[StreamChunk]:
     """Denoise the window schedule and decode/emit finalized segments as they appear —
     the ONE segmentation both ``generate_audio_long`` (concatenates) and
@@ -673,7 +687,8 @@ def _stream_segments(
     n_windows = len(prep.sched)
     prev_cut = emit_from_frame  # continuation: the known context is not re-emitted
     for w_i, start, win in _run_windows(bundle, prep, guidance_scale=guidance_scale,
-                                        num_inference_steps=num_inference_steps):
+                                        num_inference_steps=num_inference_steps,
+                                        sampler=sampler):
         avail = start + win  # latent frames finalized so far
         last = w_i == n_windows - 1
         # hold back a halo before the emit cut so the next chunk can decode it with
@@ -695,7 +710,11 @@ def _stream_segments(
         else:
             pcm16 = None
             audio = raw[:, None, :]
-        final = cut * hop >= n_total
+        # With snap_to_window_grid=False and an off-latent-grid duration,
+        # total_frames*hop < n_total, so the sample-count test alone would end the
+        # iterator without ever yielding final=True — the last scheduled window is
+        # final by construction regardless.
+        final = last or cut * hop >= n_total
         yield StreamChunk(
             start_sample=prev_cut * hop, audio=audio, pcm16=pcm16, sample_rate=sr,
             window_index=w_i, n_windows=n_windows, final=final,

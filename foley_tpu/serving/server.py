@@ -267,8 +267,6 @@ class FoleyService:
         # beyond the largest warmed bucket: windowed long-form instead of the old silent
         # snap-down — the window is the largest warmed duration
         long_form = duration > self.durations[-1]
-        if long_form and request.get("sampler", "euler") != "euler":
-            raise ValueError("long-form generation supports the euler sampler only")
         bucket_duration = duration if long_form else self._snap_duration(duration)
         if long_form and ("frames_b64" in request or "frames_path" in request):
             # long-form V2A: windows slice the FULL video's features — encode at the
@@ -304,6 +302,7 @@ class FoleyService:
                     window_s=default_window_s(self.bundle.pipeline_cfg),
                     guidance_scale=float(request.get("cfg_scale", 4.5)),
                     num_inference_steps=steps,
+                    sampler=request.get("sampler", "euler"),
                     batch_size=batch,
                     seed=int(request.get("seed", 0)),
                     text_bucket=self.text_buckets[0],
@@ -317,6 +316,7 @@ class FoleyService:
                     window_s=float(self.durations[-1]),
                     guidance_scale=float(request.get("cfg_scale", 4.5)),
                     num_inference_steps=steps,
+                    sampler=request.get("sampler", "euler"),
                     batch_size=batch,
                     seed=int(request.get("seed", 0)),
                     text_bucket=self.text_buckets[0],
@@ -377,8 +377,6 @@ class FoleyService:
         neg = request.get("negative_prompt", "noisy, harsh")
         duration = float(request.get("duration", 5.0))
         long_form = duration > self.durations[-1]
-        if long_form and request.get("sampler", "euler") != "euler":
-            raise ValueError("long-form generation supports the euler sampler only")
         bucket_duration = duration if long_form else self._snap_duration(duration)
         if long_form and ("frames_b64" in request or "frames_path" in request):
             from foley_tpu.pipeline.longform import plan_v2a_long
@@ -411,14 +409,25 @@ class FoleyService:
             text = uncond = jnp.zeros(
                 (1, tb, self.bundle.pipeline_cfg.model.condition_dim), jnp.float32
             )
-        sr = self.bundle.pipeline_cfg.dac.sample_rate
+        pcfg = self.bundle.pipeline_cfg
+        sr = pcfg.dac.sample_rate
         from foley_tpu.pipeline.longform import emitted_samples
 
-        n_total = emitted_samples(duration, sr)
+        if cont_wav is not None:
+            # Continuation emits on the LATENT grid (continue_audio_stream yields
+            # latent_length(duration) frames of new audio — the generated region is
+            # frame-granular, there is no sub-frame tail to emit), so the header must
+            # promise the latent-grid total: for off-grid durations (e.g. 5.25 s)
+            # int(duration*sr) would overshoot what the stream emits and the client
+            # would misread every successful stream as a mid-stream failure.
+            n_total = pcfg.latent_length(duration) * pcfg.dac.hop_length
+        else:
+            n_total = emitted_samples(duration, sr)
         yield {"header": {"sample_rate": sr, "channels": 1, "total_samples": n_total}}
         common = dict(
             guidance_scale=float(request.get("cfg_scale", 4.5)),
-            num_inference_steps=steps, batch_size=batch,
+            num_inference_steps=steps, sampler=request.get("sampler", "euler"),
+            batch_size=batch,
             seed=int(request.get("seed", 0)), text_bucket=self.text_buckets[0],
         )
         with self._lock, self._mesh_ctx():
@@ -446,8 +455,7 @@ class FoleyService:
             else:
                 result = generate_audio(
                     self.bundle, text, uncond, bucket_duration,
-                    clip_feat=clip_feat, sync_feat=sync_feat,
-                    sampler=request.get("sampler", "euler"), **common,
+                    clip_feat=clip_feat, sync_feat=sync_feat, **common,
                 )
                 from foley_tpu.io.native import float_to_pcm16
 

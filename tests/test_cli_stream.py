@@ -37,9 +37,72 @@ def test_cli_first_window_requires_stream(capsys):
     assert "--stream_pcm" in capsys.readouterr().err
 
 
-def test_cli_stream_pcm_rejects_v2a(capsys, tmp_path):
-    """--stream_pcm + --single_video is rejected with a clear error (V2A streaming needs
-    the sampler node's encoders; use the serving route)."""
+def test_read_wav_mono_rejects_bad_formats(tmp_path):
+    """--continue_audio input validation: non-48 kHz or non-16-bit WAVs raise ValueError
+    (a 24-bit file read as '<i2' would silently decode to garbage and condition the
+    continuation on noise); valid 16-bit 48 kHz stereo is downmixed to mono."""
+    import wave
+
+    from foley_tpu.cli import _read_wav_mono
+
+    def write(path, sr, sampwidth, nch=1):
+        with wave.open(str(path), "wb") as f:
+            f.setnchannels(nch)
+            f.setsampwidth(sampwidth)
+            f.setframerate(sr)
+            f.writeframes(b"\x00" * (sampwidth * nch * 100))
+
+    write(tmp_path / "lowrate.wav", 16000, 2)
+    with pytest.raises(ValueError, match="48 kHz"):
+        _read_wav_mono(str(tmp_path / "lowrate.wav"))
+
+    write(tmp_path / "s24.wav", 48000, 3)
+    with pytest.raises(ValueError, match="16-bit"):
+        _read_wav_mono(str(tmp_path / "s24.wav"))
+
+    write(tmp_path / "ok.wav", 48000, 2, nch=2)
+    out = _read_wav_mono(str(tmp_path / "ok.wav"))
+    assert out.shape == (100,) and out.dtype == np.float32
+
+
+def test_cli_stream_pcm_v2a(capsysbinary, tmp_path):
+    """--stream_pcm + --single_video (r4 verdict #6): the full duration streams as raw
+    PCM with the video's features encoded once at the window plan's duration; the
+    output depends on the video (a different frames dir changes the audio)."""
+    from PIL import Image
+
+    from foley_tpu.cli import main
+
+    def frames_dir(name, seed):
+        d = tmp_path / name
+        d.mkdir()
+        r = np.random.default_rng(seed)
+        for i in range(20):
+            Image.fromarray(r.integers(0, 256, (24, 24, 3), dtype=np.uint8)).save(
+                d / f"f_{i:03d}.png")
+        return str(d)
+
+    argv = [
+        "--random_init", "tiny", "--random_init_perturb",  # live model: output must
+        "--single_prompt", "splash", "--duration", "1",    # depend on the video
+        "--num_inference_steps", "2", "--precision", "fp32", "--seed", "4",
+        "--stream_pcm", "--frames_fps", "16",
+    ]
+    rc = main(argv + ["--single_video", frames_dir("a", 1)])
+    out_a = capsysbinary.readouterr().out
+    assert rc == 0
+    pcm_a = np.frombuffer(out_a, "<i2")
+    assert pcm_a.shape[0] == 48000 and np.abs(pcm_a).max() > 0
+
+    rc = main(argv + ["--single_video", frames_dir("b", 2)])
+    pcm_b = np.frombuffer(capsysbinary.readouterr().out, "<i2")
+    assert rc == 0 and pcm_b.shape == pcm_a.shape
+    assert np.abs(pcm_a.astype(np.int32) - pcm_b.astype(np.int32)).max() > 0
+
+
+def test_cli_stream_pcm_rejects_v2a_continuation(capsys, tmp_path):
+    """--stream_pcm + --single_video + --continue_audio: continuation is
+    text-conditioned only; rejected before any model work."""
     from foley_tpu.cli import main
 
     d = tmp_path / "frames"
@@ -47,7 +110,7 @@ def test_cli_stream_pcm_rejects_v2a(capsys, tmp_path):
     rc = main([
         "--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
         "--num_inference_steps", "2", "--precision", "fp32",
-        "--stream_pcm", "--single_video", str(d),
+        "--stream_pcm", "--single_video", str(d), "--continue_audio", "x.wav",
     ])
     assert rc == 2
-    assert "stream_pcm" in capsys.readouterr().err
+    assert "text-conditioned" in capsys.readouterr().err

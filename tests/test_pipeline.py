@@ -321,7 +321,9 @@ def test_window_schedule():
 
 def test_known_prefix_clamp_is_exact(bundle):
     """denoise_latents(known_frames=k): the clamped prefix equals known_latents EXACTLY at
-    the end of the schedule (sigma reaches 0.0), while the free suffix actually denoises."""
+    the end of the schedule — for EVERY solver (euler reaches sigma=0; multi-stage solvers
+    end mid-schedule in the reference's fixed step budget and rely on the final hard set) —
+    while the free suffix actually denoises."""
     from foley_tpu.pipeline.features import prepare_cfg_features, t2a_features
     from foley_tpu.sampling.denoise import denoise_latents, prepare_latents
 
@@ -347,12 +349,17 @@ def test_known_prefix_clamp_is_exact(bundle):
     # v=0 (latents don't move), so the free suffix must still equal its initial noise
     np.testing.assert_array_equal(np.asarray(out)[:, k:], np.asarray(noise)[:, k:])
 
-    with pytest.raises(ValueError, match="euler only"):
-        denoise_latents(
+    # multi-stage solvers (r4 verdict #3): same exactness contract. At random init the
+    # velocity is exactly zero, so every solver leaves the free suffix at its initial
+    # noise, and the hard-set prefix equals known bitwise regardless of the final sigma.
+    for solver in ("heun-2", "midpoint-2", "kutta-4"):
+        out_ms = denoise_latents(
             bundle.mmdit_params, noise, features, jnp.float32(4.5), known,
-            cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver="heun-2",
+            cfg=CFG.model, diffusion=CFG.diffusion, num_steps=4, solver=solver,
             use_cfg=True, compute_dtype=jnp.float32, known_frames=k,
         )
+        np.testing.assert_array_equal(np.asarray(out_ms)[:, :k], np.asarray(known))
+        np.testing.assert_array_equal(np.asarray(out_ms)[:, k:], np.asarray(noise)[:, k:])
 
 
 def test_generate_audio_long_end_to_end(live_bundle):
@@ -423,8 +430,7 @@ def test_clamped_prefix_influences_free_region(live_bundle):
 
 def test_sampler_node_long_form_guards(bundle):
     """The sampler node routes >max-duration requests to the windowed path and rejects the
-    combinations it can't honor (undersized V2A features, non-euler) with actionable
-    errors."""
+    combinations it can't honor (undersized V2A features) with actionable errors."""
     from foley_tpu.api.nodes import HunyuanFoleySampler
 
     text, uncond = _text()
@@ -435,9 +441,37 @@ def test_sampler_node_long_form_guards(bundle):
     with pytest.raises(ValueError, match="too short"):
         HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
                                       fake_clip, fake_sync, 4.5, 4, "euler", 1, 0)
-    with pytest.raises(ValueError, match="euler"):
-        HunyuanFoleySampler._generate(bundle, text, uncond, CFG.max_duration_s + 1.0,
-                                      None, None, 4.5, 4, "heun-2", 1, 0)
+
+
+def test_windowed_multistage_solver(live_bundle):
+    """Windowed long-form with a MULTI-STAGE solver (r4 verdict #3, the un-guarding):
+    through a real-velocity model, heun-2 long-form is finite and right-sized, the
+    stream equals the batch path (windows stay final-on-write — the stage-aware clamp +
+    final hard set make the next window's prefix reproduce the previous tail exactly),
+    the free region actually moves, and the solver choice matters (differs from euler)."""
+    from foley_tpu.pipeline.longform import generate_audio_long, generate_audio_long_stream
+    from foley_tpu.sampling.denoise import prepare_latents
+
+    text, uncond = _text()
+    kwargs = dict(window_s=2.0, overlap_s=0.5, guidance_scale=4.5, num_inference_steps=4,
+                  batch_size=1, seed=11, text_bucket=16)
+    batch = generate_audio_long(live_bundle, text, uncond, 3.0, sampler="heun-2",
+                                return_latents=True, **kwargs)
+    sr = CFG.dac.sample_rate
+    assert batch.audio_first.shape == (1, 1, 3 * sr)
+    assert np.all(np.isfinite(batch.audio_first))
+    noise = prepare_latents(jax.random.PRNGKey(11), 1, CFG.latent_length(3.0),
+                            CFG.model.audio_vae_latent_dim)
+    assert np.abs(batch.latents - np.asarray(noise)).max() > 1e-3  # non-vacuous
+
+    chunks = list(generate_audio_long_stream(live_bundle, text, uncond, 3.0,
+                                             sampler="heun-2", **kwargs))
+    assert chunks[-1].final
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+
+    euler = generate_audio_long(live_bundle, text, uncond, 3.0, sampler="euler", **kwargs)
+    assert np.abs(euler.audio_batch - batch.audio_batch).max() > 1e-4
 
 
 def test_generate_audio_long_grid_snap(bundle):
@@ -662,6 +696,24 @@ def test_long_stream_v2a_matches_batch(live_bundle):
                for a, b in zip(chunks, chunks[1:]))
     streamed = np.concatenate([c.audio for c in chunks], axis=-1)
     assert np.abs(streamed - batch.audio_batch).max() <= 1.5 / 32767.0
+
+
+def test_long_stream_off_grid_duration_yields_final(live_bundle):
+    """Off-latent-grid duration with snap_to_window_grid=False (the stream default):
+    total_frames*hop < int(duration*sr), so a sample-count test alone would end the
+    iterator without ever yielding final=True — the last scheduled window must be final
+    by construction, and the emitted total is the latent-grid total."""
+    from foley_tpu.pipeline.longform import generate_audio_long_stream
+
+    text, uncond = _text()
+    chunks = list(generate_audio_long_stream(
+        live_bundle, text, uncond, 2.13, window_s=2.0, overlap_s=0.5,
+        guidance_scale=4.5, num_inference_steps=2, batch_size=1, seed=5,
+        text_bucket=16))
+    assert chunks[-1].final and not any(c.final for c in chunks[:-1])
+    hop = CFG.dac.hop_length
+    assert sum(c.audio.shape[-1] for c in chunks) == CFG.latent_length(2.13) * hop
+    assert CFG.latent_length(2.13) * hop < int(2.13 * CFG.dac.sample_rate)  # off-grid
 
 
 def test_window_schedule_initial_covered():

@@ -290,9 +290,11 @@ def test_long_form_request_over_bucket(service):
     with pytest.raises(ValueError, match="window - overlap"):
         service.generate({"prompt": "wind", "duration": 2.5, "steps": 2,
                           "frames_b64": _frames_b64()})
-    with pytest.raises(ValueError, match="euler"):
-        service.generate({"prompt": "wind", "duration": 2.5, "steps": 2,
-                          "sampler": "heun-2"})
+    # r4 verdict #3: multi-stage solvers now route through the windowed path too
+    out_h = service.generate({"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3,
+                              "sampler": "heun-2"})
+    assert out_h["waveform"].shape == (1, int(2.5 * 48000))
+    assert np.all(np.isfinite(np.asarray(out_h["waveform"])))
 
 
 def test_v2a_request_frames_path(service, tmp_path):
@@ -564,6 +566,28 @@ def test_continuation_stream(server):
     assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
 
 
+def test_continuation_stream_off_grid_duration(server):
+    """Off-latent-grid continuation duration: the stream emits whole latent frames only
+    (latent_length(duration)*hop samples), so X-Total-Samples must promise the
+    latent-grid total — int(duration*sr) would overshoot and clients would misread
+    every successful stream as a mid-stream failure."""
+    from foley_tpu.io.native import wav_image
+
+    rng = np.random.default_rng(9)
+    src = np.clip(rng.normal(scale=0.1, size=48000).astype(np.float32), -1, 1)
+    req = {"prompt": "keep going", "duration": 1.05, "steps": 2, "seed": 7,
+           "continue_b64": base64.b64encode(wav_image(src, 48000)).decode(),
+           "context_s": 0.5, "response": "pcm16_stream"}
+    with urllib.request.urlopen(
+            urllib.request.Request(server + "/generate", data=json.dumps(req).encode()),
+            timeout=600) as r:
+        total = int(r.headers["X-Total-Samples"])
+        pcm = np.frombuffer(r.read(), "<i2")
+    expect = TINY.latent_length(1.05) * TINY.dac.hop_length
+    assert expect < int(1.05 * 48000)  # genuinely off-grid
+    assert total == expect and pcm.shape[0] == total
+
+
 def test_stream_first_window_ramp(server):
     """first_window_s latency ramp: the over-bucket stream honors it (sample accounting
     unchanged — the ramp only re-slices the window schedule); single-shot requests
@@ -585,3 +609,101 @@ def test_stream_first_window_ramp(server):
               "response": "pcm16_stream", "first_window_s": 0.8})
     assert exc.value.code == 500
     assert "first_window_s" in json.loads(exc.value.read())["error"]
+
+
+# -- live-model streaming (VERDICT r4 #2) -------------------------------------------
+# The module `service` fixture uses raw mmdit.init, whose zero-init final layer gives
+# exactly zero velocity — route-plumbing coverage only. These fixtures perturb the zero
+# leaves so the server's OWN plan/ramp composition (generate_stream builds its own
+# window schedule and ramp kwargs) is checked by a model that would expose a schedule
+# divergence: a deliberate off-by-one in the server's plan makes the equalities fail.
+
+
+@pytest.fixture(scope="module")
+def live_service():
+    from foley_tpu.core.params import perturb_zero_leaves
+
+    bundle = ModelBundle(
+        mmdit_params=perturb_zero_leaves(
+            mmdit.init(jax.random.PRNGKey(0), TINY.model), jax.random.PRNGKey(100)),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    # no warmup: these tests compile on demand while holding the generation lock
+    return FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
+
+
+@pytest.fixture(scope="module")
+def live_server(live_service):
+    srv = create_server(live_service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(server, body, timeout=600):
+    return urllib.request.urlopen(
+        urllib.request.Request(server + "/generate", data=json.dumps(body).encode()),
+        timeout=timeout)
+
+
+def test_live_stream_matches_wav(live_server):
+    """Over-bucket stream == WAV route payload (<=1 LSB) through a REAL-velocity model:
+    the server composes the same window schedule for both routes."""
+    req = {"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3}
+    with _post(live_server, {**req, "response": "pcm16_stream"}) as r:
+        total = int(r.headers["X-Total-Samples"])
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert total == int(2.5 * 48000) and pcm.shape[0] == total
+    assert np.abs(pcm).max() > 0  # non-silent: the perturbed model emits real velocity
+    with _post(live_server, req) as r:
+        with wave.open(io.BytesIO(r.read())) as f:
+            wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
+
+
+def test_live_continuation_stream_matches_wav(live_server):
+    """Continuation stream == continuation WAV route through a real-velocity model."""
+    from foley_tpu.io.native import wav_image
+
+    rng = np.random.default_rng(5)
+    src = np.clip(rng.normal(scale=0.1, size=48000).astype(np.float32), -1, 1)
+    req = {"prompt": "keep going", "duration": 1.0, "steps": 2, "seed": 6,
+           "continue_b64": base64.b64encode(wav_image(src, 48000)).decode(),
+           "context_s": 0.5}
+    with _post(live_server, {**req, "response": "pcm16_stream"}) as r:
+        assert int(r.headers["X-Total-Samples"]) == 48000
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert pcm.shape[0] == 48000 and np.abs(pcm).max() > 0
+    with _post(live_server, req) as r:
+        with wave.open(io.BytesIO(r.read())) as f:
+            wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
+
+
+def test_live_ramp_stream_matches_pipeline(live_service, live_server):
+    """first_window_s at the HTTP layer == the pipeline called with the kwargs the
+    server is SUPPOSED to pass (window=largest bucket, grid snap, ramp): covers the
+    server's own ramp-kwargs composition (server.py generate_stream), which the WAV
+    route cannot (it ignores first_window_s)."""
+    from foley_tpu.pipeline.longform import generate_audio_long
+
+    req = {"prompt": "wind", "duration": 2.5, "steps": 2, "seed": 3,
+           "response": "pcm16_stream", "first_window_s": 0.8}
+    with _post(live_server, req) as r:
+        total = int(r.headers["X-Total-Samples"])
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert total == int(2.5 * 48000) and pcm.shape[0] == total
+    assert np.abs(pcm).max() > 0
+
+    tb = live_service.text_buckets[0]
+    text = jnp.zeros((1, tb, TINY.model.condition_dim), jnp.float32)
+    ref = generate_audio_long(
+        live_service.bundle, text, text, 2.5, window_s=1.0, guidance_scale=4.5,
+        num_inference_steps=2, batch_size=1, seed=3, text_bucket=tb,
+        snap_to_window_grid=True, first_window_s=0.8)
+    ref_pcm = np.round(np.clip(np.asarray(ref.audio_first)[0, 0, :total], -1, 1)
+                       * 32767.0).astype(np.int32)
+    assert np.abs(pcm.astype(np.int32) - ref_pcm).max() <= 1
