@@ -111,13 +111,18 @@ def quantize_int4(
     Beyond the reference's fp8 mode: 4-bit symmetric weights (q in [-7, 7]) with a separate
     fp32 scale per ``group_size`` input channels per output channel — the group-wise scales
     recover most of the fidelity plain per-channel int4 loses. A quantized 'w' leaf becomes
-    ``{"int4": packed uint8 [..., in/2, out], "scale": [..., n_groups, 1, out]}``: two
-    consecutive input rows per byte (row 2i in the low nibble, 2i+1 in the high, biased +8).
+    ``{"int4": packed uint8 [..., in/2, out], "scale": [..., n_groups, 1, out]}`` with
+    SPLIT-HALF packing: byte ``i`` holds input row ``i`` in the low nibble and row
+    ``i + in/2`` in the high nibble (biased +8), so the dequant is a CONCATENATE along the
+    input axis — no interleave. The previous adjacent-pair packing (rows 2i/2i+1 per byte)
+    needed a ``stack``+reshape interleave that XLA lowered as a full relayout of the
+    dequantized weights every step: 2.35x bf16 step time vs split-half's 1.06x, measured
+    on the XXL single-block qkv scan (``tools/profile_int4_matmul.py``, r4 verdict #5).
     The nibble packing is done HOST-SIDE on purpose — ``jnp.int4`` arrays crash this axon
     runtime's dispatch layer (``device_put`` for the S4 tiled-relayout recurses infinitely:
     ``RecursionError: Recursively calling jit``; standalone repro ``tools/repro_int4.py``),
     so the 4-bit storage never touches the int4 dtype. ``ops/nn.py::_match`` unpacks with a
-    shift/mask/reshape chain that XLA fuses into the consuming matmul's operand read.
+    shift/mask/concat chain that XLA fuses into the consuming matmul's operand read.
     Weights whose input axis is not divisible by ``group_size`` use ONE group (plain
     per-channel); odd input axes stay unquantized. Quarters weight HBM traffic vs bf16 —
     the measured bf16 batch-1 bound (ROADMAP post-hoist profile). Opt-in storage mode; same
@@ -150,9 +155,9 @@ def quantize_int4(
         if consume:
             flat[path] = None
         scale = np.maximum(np.max(np.abs(w32), axis=-2, keepdims=True) / 7.0, 1e-12)
-        # bias to [1, 15] and pack consecutive input-row pairs into one byte (lo = row 2i)
+        # bias to [1, 15]; split-half packing: byte i = (row i+cin/2) << 4 | row i
         qb = (np.clip(np.round(w32 / scale), -7, 7).reshape(leaf.shape) + 8).astype(np.uint8)
-        packed = (qb[..., 1::2, :] << 4) | qb[..., 0::2, :]
+        packed = (qb[..., cin // 2:, :] << 4) | qb[..., : cin // 2, :]
         q4 = jnp.asarray(packed)
         scale_j = jnp.asarray(scale.astype(np.float32))
         saved += int(leaf.size) * leaf.dtype.itemsize - int(packed.size) \

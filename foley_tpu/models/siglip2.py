@@ -275,10 +275,16 @@ def preprocess_frames_device(frames: jnp.ndarray, size: int = 512) -> jnp.ndarra
 
 
 class Siglip2Encoder:
-    def __init__(self, params: Dict, cfg: SiglipVisionConfig, preprocess: str = "pil"):
+    def __init__(self, params: Dict, cfg: SiglipVisionConfig, preprocess: str = "pil",
+                 compute_dtype=jnp.float32):
         self.params = params
         self.cfg = cfg
         self.preprocess = preprocess  # "pil" (reference parity) | "device" (TPU resize)
+        # Activation dtype for the ViT (ops cast weights TO activations, so fp32 pixels
+        # mean fp32 compute regardless of weight storage). fp32 default = golden-test
+        # parity; bf16 runs the MXU fast path (the reference itself runs fp16 on GPU,
+        # nodes.py dtype selection) — measured in tools/profile_v2a.py --encoder_dtype.
+        self.compute_dtype = compute_dtype
         self._apply = jax.jit(apply, static_argnames=("cfg", "pooled"))
 
     def encode(self, frames: np.ndarray) -> jnp.ndarray:
@@ -288,8 +294,9 @@ class Siglip2Encoder:
                 jnp.asarray(frames_to_u8(np.asarray(frames))), self.cfg.image_size)
         else:
             pixels = jnp.asarray(preprocess_frames(frames, self.cfg.image_size))
-        feats = self._apply(self.params, pixels, self.cfg, pooled=True)  # [T, h]
-        return feats[None]
+        feats = self._apply(self.params, pixels.astype(self.compute_dtype), self.cfg,
+                            pooled=True)  # [T, h]
+        return feats[None].astype(jnp.float32)
 
 
 def encode_frames(encoder: Siglip2Encoder, frames: np.ndarray) -> jnp.ndarray:

@@ -391,17 +391,21 @@ def encode_frames_device(encoder: "SynchformerEncoder", frames_25fps: np.ndarray
 
 
 class SynchformerEncoder:
-    def __init__(self, params: Dict, cfg: SynchformerConfig, preprocess: str = "pil"):
+    def __init__(self, params: Dict, cfg: SynchformerConfig, preprocess: str = "pil",
+                 compute_dtype=jnp.float32):
         self.params = params
         self.cfg = cfg
         self.preprocess = preprocess  # "pil" (reference parity) | "device" (TPU resize)
+        # ViT activation dtype; fp32 default = golden parity, bf16 = MXU fast path
+        # (see Siglip2Encoder.compute_dtype / tools/profile_v2a.py --encoder_dtype)
+        self.compute_dtype = compute_dtype
         self._apply = jax.jit(apply, static_argnames=("cfg",))
 
     def encode(self, segments: np.ndarray) -> jnp.ndarray:
         """[S, 16, H, W, C] preprocessed segments -> [1, S*8, D] flattened features."""
-        x = jnp.asarray(segments)[None]  # [1, S, 16, H, W, C]
+        x = jnp.asarray(segments)[None].astype(self.compute_dtype)  # [1, S, 16, H, W, C]
         feats = self._apply(self.params, x, self.cfg)  # [1, S, 8, D]
-        return feats.reshape(1, -1, feats.shape[-1])
+        return feats.reshape(1, -1, feats.shape[-1]).astype(jnp.float32)
 
 
 def encode_segments(encoder: SynchformerEncoder, segments: np.ndarray) -> jnp.ndarray:

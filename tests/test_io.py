@@ -387,10 +387,11 @@ def test_int4_quantize_policy_and_fidelity():
     got = dense(x, {"int4": leaf["int4"][0], "scale": leaf["scale"][0]})
     rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (np.abs(np.asarray(ref)).max() + 1e-9)
     assert rel < 0.08, rel
-    # and it is strictly the round-to-scale dequant (exact vs a numpy nibble-unpack dequant)
+    # and it is strictly the round-to-scale dequant (exact vs a numpy nibble-unpack dequant;
+    # split-half layout: low nibble = rows [0, i/2), high = rows [i/2, i))
     p = np.asarray(leaf["int4"][0])
-    qvals = np.stack([(p & 0xF).astype(np.int8) - 8, (p >> 4).astype(np.int8) - 8],
-                     axis=-2).reshape(i, o)
+    qvals = np.concatenate([(p & 0xF).astype(np.int8) - 8, (p >> 4).astype(np.int8) - 8],
+                           axis=0)
     deq = (qvals.astype(np.float32)
            .reshape(groups, i // groups, o) * np.asarray(leaf["scale"][0])).reshape(i, o)
     np.testing.assert_allclose(np.asarray(got), np.asarray(dense(x, jnp.asarray(deq))),

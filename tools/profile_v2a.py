@@ -44,6 +44,16 @@ def main():
                     help="device mode with the production overlap schedule: Synchformer "
                          "frame upload dispatched before the SigLIP2 ViT runs, no host "
                          "materialization between phases (matches nodes._encode_video)")
+    ap.add_argument("--perturb", action="store_true",
+                    help="perturb the denoiser's zero-init leaves (live model — real "
+                         "velocity; costs nothing per round-4 hardware reval)")
+    ap.add_argument("--encoder_dtype", default="fp32", choices=["fp32", "bf16"],
+                    help="encoder ViT activation dtype (fp32 = golden parity; bf16 = MXU "
+                         "fast path)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="also measure compute-only encoder time on device-resident "
+                         "inputs, H2D transfer time, and MFU via XLA cost-analysis FLOPs "
+                         "over the 197 TF/s v5e bf16 peak (round-4 MFU definition)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +70,7 @@ def main():
     from foley_tpu.pipeline.generate import ModelBundle, generate_audio
 
     cfg = get_config(args.config)
-    fm = HunyuanModelLoader.init_random(args.config, "bf16", seed=0)
+    fm = HunyuanModelLoader.init_random(args.config, "bf16", seed=0, perturb=args.perturb)
     bundle = ModelBundle(
         mmdit_params=fm["params"],
         dac_params=dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32),
@@ -70,6 +80,8 @@ def main():
     sig = siglip2.init_random(2, cfg.model.clip_dim)
     sync = synchformer.init_random(3, cfg.model.sync_feat_dim)
     sig.preprocess = sync.preprocess = args.preprocess
+    enc_dtype = jnp.bfloat16 if args.encoder_dtype == "bf16" else jnp.float32
+    sig.compute_dtype = sync.compute_dtype = enc_dtype
 
     # synthetic clip at the requested frame rate (decode is out of scope — file IO, not TPU)
     rng = np.random.default_rng(0)
@@ -128,7 +140,84 @@ def main():
     med.update(
         tool="profile_v2a", config=args.config, duration=args.duration, steps=args.steps,
         frames=n_frames, audio_sec_per_sec=round(args.duration / med["total_s"], 4),
+        encoder_dtype=args.encoder_dtype, perturb=bool(args.perturb),
     )
+
+    if args.mfu:
+        # Transfer vs compute within encode (r4 verdict #1): the encode phases above
+        # conflate the tunnel H2D transfer (measured 7-35 MB/s session variance) with ViT
+        # compute. Measure each alone: H2D of the exact uint8 payloads the device paths
+        # ship, then the jitted ViTs on device-RESIDENT preprocessed inputs. MFU uses the
+        # round-4 definition (cost-analysis dense FLOPs / wall / 197 TF/s v5e bf16 peak);
+        # for fp32 activations the matmuls run 3-pass HIGHEST precision, so MFU against
+        # the bf16 peak deliberately punishes the fp32 mode.
+        from foley_tpu.io.images import frames_to_u8
+        from foley_tpu.models.siglip2 import preprocess_frames_device as sig_pre
+        from foley_tpu.models.synchformer import preprocess_frames_device as sync_pre
+
+        sig_u8 = sync_u8 = frames_to_u8
+
+        peak = 197e12
+        f8 = resample_frames(frames, args.frame_rate, args.duration, cfg.siglip2_fps)
+        f25 = resample_frames(frames, args.frame_rate, args.duration, cfg.synchformer_fps)
+        u8_8, u8_25 = sig_u8(f8), sync_u8(f25)
+
+        def h2d(x):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(x))
+            return time.perf_counter() - t0
+
+        h2d(u8_8)  # warm the transfer path once
+        med["h2d_siglip_s"] = round(float(np.median([h2d(u8_8) for _ in range(args.iters)])), 4)
+        med["h2d_sync_s"] = round(float(np.median([h2d(u8_25) for _ in range(args.iters)])), 4)
+        med["h2d_mb"] = round((u8_8.nbytes + u8_25.nbytes) / 1e6, 1)
+
+        # device-resident preprocessed inputs
+        pix8 = jax.block_until_ready(
+            sig_pre(jax.device_put(u8_8), sig.cfg.image_size)).astype(enc_dtype)
+        dev25 = jax.block_until_ready(sync_pre(jax.device_put(u8_25), sync.cfg.img_size))
+        t = f25.shape[0]
+        num = max((t - 16) // 8 + 1, 1)
+        idx = np.minimum(np.arange(num)[:, None] * 8 + np.arange(16)[None, :], t - 1)
+        segs = jnp.take(dev25, jnp.asarray(idx.reshape(-1)), axis=0)
+        segs = jax.block_until_ready(
+            segs.reshape(1, num, 16, *dev25.shape[1:])).astype(enc_dtype)
+
+        def bench_compute(fn, *a, **kw):
+            lowered = fn.lower(*a, **kw)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            jax.block_until_ready(fn(*a, **kw))  # compile+warm
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*a, **kw))
+                times.append(time.perf_counter() - t0)
+            w = float(np.median(times))
+            return w, flops, (flops / (w * peak) if flops else 0.0)
+
+        w, fl, mfu = bench_compute(sig._apply, sig.params, pix8, sig.cfg, pooled=True)
+        med.update(siglip2_compute_s=round(w, 4), siglip2_gflops=round(fl / 1e9, 1),
+                   siglip2_mfu=round(mfu, 3))
+        w, fl, mfu = bench_compute(sync._apply, sync.params, segs, sync.cfg)
+        med.update(sync_compute_s=round(w, 4), sync_gflops=round(fl / 1e9, 1),
+                   sync_mfu=round(mfu, 3))
+
+        def cos(a, b):
+            a, b = np.asarray(a, np.float32).ravel(), np.asarray(b, np.float32).ravel()
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+        # bf16 activation fidelity vs the golden-pinned fp32 path (random weights =
+        # worst case, as in the quant table)
+        med["siglip2_bf16_cos"] = round(cos(
+            sig._apply(sig.params, pix8.astype(jnp.float32), sig.cfg, pooled=True),
+            sig._apply(sig.params, pix8.astype(jnp.bfloat16), sig.cfg, pooled=True)), 5)
+        med["sync_bf16_cos"] = round(cos(
+            sync._apply(sync.params, segs.astype(jnp.float32), sync.cfg),
+            sync._apply(sync.params, segs.astype(jnp.bfloat16), sync.cfg)), 5)
+
     print(json.dumps(med))
     return 0
 
