@@ -622,6 +622,7 @@ def test_stream_first_window_ramp(server):
 @pytest.fixture(scope="module")
 def live_service():
     from foley_tpu.core.params import perturb_zero_leaves
+    from foley_tpu.models import siglip2, synchformer
 
     bundle = ModelBundle(
         mmdit_params=perturb_zero_leaves(
@@ -630,8 +631,13 @@ def live_service():
         pipeline_cfg=TINY,
         compute_dtype=jnp.float32,
     )
+    encoders = {
+        "siglip2": siglip2.init_random(2, TINY.model.clip_dim),
+        "synchformer": synchformer.init_random(3, TINY.model.sync_feat_dim),
+    }
     # no warmup: these tests compile on demand while holding the generation lock
-    return FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
+    return FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2,
+                        video_encoders=encoders)
 
 
 @pytest.fixture(scope="module")
@@ -707,3 +713,30 @@ def test_live_ramp_stream_matches_pipeline(live_service, live_server):
     ref_pcm = np.round(np.clip(np.asarray(ref.audio_first)[0, 0, :total], -1, 1)
                        * 32767.0).astype(np.int32)
     assert np.abs(pcm.astype(np.int32) - ref_pcm).max() <= 1
+
+
+def test_live_v2a_stream_matches_wav(live_server):
+    """In-bucket V2A stream == the V2A WAV route through a real-velocity model, and the
+    audio DEPENDS on the frames — covers the stream route's own visual-feature
+    composition (generate_stream calls _visual_features independently of generate)."""
+    def frames(seed):
+        rng = np.random.default_rng(seed)
+        buf = io.BytesIO()
+        np.savez(buf, frames=rng.integers(0, 256, size=(16, 24, 24, 3), dtype=np.uint8))
+        return base64.b64encode(buf.getvalue()).decode()
+
+    req = {"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 5,
+           "frames_b64": frames(1), "frames_fps": 16.0}
+    with _post(live_server, {**req, "response": "pcm16_stream"}) as r:
+        assert int(r.headers["X-Total-Samples"]) == 48000
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert pcm.shape[0] == 48000 and np.abs(pcm).max() > 0
+    with _post(live_server, req) as r:
+        with wave.open(io.BytesIO(r.read())) as f:
+            wav_pcm = np.frombuffer(f.readframes(f.getnframes()), "<i2")
+    assert np.abs(pcm.astype(np.int32) - wav_pcm.astype(np.int32)).max() <= 1
+
+    with _post(live_server, {**req, "response": "pcm16_stream",
+                             "frames_b64": frames(2)}) as r:
+        pcm_b = np.frombuffer(r.read(), "<i2")
+    assert np.abs(pcm.astype(np.int32) - pcm_b.astype(np.int32)).max() > 0
