@@ -212,7 +212,10 @@ class HunyuanDependenciesLoader:
             "required": {
                 "vae_model": ("STRING", {"default": "vae_128d_48k.safetensors"}),
                 "synchformer_model": ("STRING", {"default": "synchformer_state_dict.safetensors"}),
-                "precision": (["fp32", "fp16", "bf16"], {"default": "fp16"}),
+                # the reference defaults fp16 (CUDA); bf16 is the TPU-native equivalent.
+                # Sets the visual encoders' ViT activation dtype — measured numerically
+                # free (pooled-feature cosine 1.00000 vs fp32, ROADMAP round-5 V2A bench)
+                "precision": (["fp32", "fp16", "bf16"], {"default": "bf16"}),
             },
             "optional": {
                 "siglip2_model": ("STRING", {"default": ""}),
@@ -231,7 +234,7 @@ class HunyuanDependenciesLoader:
     CATEGORY = "HunyuanVideoFoley-TPU"
 
     def load_dependencies(self, vae_model: str, synchformer_model: Optional[str] = None,
-                          precision: str = "fp16", siglip2_model: str = "",
+                          precision: str = "bf16", siglip2_model: str = "",
                           clap_model: str = "", clap_tokenizer: str = "",
                           video_preprocess: str = "device"):
         from foley_tpu.configs import DACConfig
@@ -261,6 +264,10 @@ class HunyuanDependenciesLoader:
         for key in ("siglip2", "synchformer"):
             if key in deps:
                 deps[key].preprocess = video_preprocess
+                # ViT activation dtype (features return fp32 either way); bf16/fp16 run
+                # the MXU fast path — fidelity measured at cosine 1.00000 vs fp32 on the
+                # real geometry (tools/profile_v2a.py --mfu, ROADMAP round-5)
+                deps[key].compute_dtype = resolve_dtype(precision)
         return (deps,)
 
 
@@ -625,7 +632,8 @@ class HunyuanFoleySampler:
             # Kick the (largest) Synchformer frame upload BEFORE SigLIP2 runs: device_put
             # dispatches asynchronously, so the tunnel-bottlenecked transfer streams while
             # the SigLIP2 ViT occupies the chip (VERDICT r2 item 5; tools/profile_v2a.py).
-            preloaded = sync_mod.upload_frames_async(f25)
+            preloaded = sync_mod.upload_frames_async(
+                f25, target_short_side=deps["synchformer"].cfg.img_size)
         if "siglip2" in deps:
             from foley_tpu.models import siglip2 as siglip_mod
 

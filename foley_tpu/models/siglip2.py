@@ -290,8 +290,13 @@ class Siglip2Encoder:
     def encode(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, C] float [0,1] frames -> [1, T, hidden] sequence of pooled features."""
         if self.preprocess == "device":
-            pixels = preprocess_frames_device(
-                jnp.asarray(frames_to_u8(np.asarray(frames))), self.cfg.image_size)
+            from foley_tpu.io.images import box_downsample_u8
+
+            # ship only the pixels the device resize can use: sources >2x the encoder
+            # resolution box-downsample host-side first (k^2 fewer h2d bytes; the k x k
+            # mean is the antialias prefilter the downscaling bicubic applies anyway)
+            u8 = box_downsample_u8(frames_to_u8(np.asarray(frames)), self.cfg.image_size)
+            pixels = preprocess_frames_device(jnp.asarray(u8), self.cfg.image_size)
         else:
             pixels = jnp.asarray(preprocess_frames(frames, self.cfg.image_size))
         feats = self._apply(self.params, pixels.astype(self.compute_dtype), self.cfg,
