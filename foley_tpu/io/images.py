@@ -33,6 +33,13 @@ def box_downsample_u8(frames: np.ndarray, target_short_side: int) -> np.ndarray:
     if k <= 1:
         return frames
     hk, wk = (h // k) * k, (w // k) * k
-    # numpy promotes uint8 axis-sums to the platform integer — no overflow at any k
-    x = frames[:, :hk, :wk].reshape(t, hk // k, k, wk // k, k, c).sum(axis=(2, 4))
-    return ((x + (k * k) // 2) // (k * k)).astype(np.uint8)  # round-half-up mean
+    # slice-accumulate: k^2 vectorized adds over strided views. Measured 2.7 s for a
+    # 1080p 125-frame clip on this 1-core host vs 13-23 s for reshape-based reductions
+    # (numpy's multi-axis sum materializes wide strided temps). uint16 holds k^2 * 255
+    # for k <= 16; larger k (an >3.5k-pixel-tall source at 224) promotes to uint32.
+    acc_dtype = np.uint16 if k * k * 255 <= np.iinfo(np.uint16).max else np.uint32
+    acc = np.zeros((t, hk // k, wk // k, c), acc_dtype)
+    for i in range(k):
+        for j in range(k):
+            acc += frames[:, i:hk:k, j:wk:k]
+    return ((acc + (k * k) // 2) // (k * k)).astype(np.uint8)  # round-half-up mean

@@ -32,6 +32,21 @@ def main():
     cfg = get_config("xxl")
     fm = HunyuanModelLoader.init_random("xxl", "bf16", seed=0)
     base_params = fm["params"]
+    # optional storage mode for the offloaded blocks (argv[1], e.g. "int4"): quantized
+    # stacks stream proportionally fewer host->HBM bytes per step — int4 quarters them
+    # (composition proven in test_aux::test_block_swap_composes_with_quantized_storage)
+    quant = sys.argv[1] if len(sys.argv) > 1 else ""
+    if quant == "int4":
+        from foley_tpu.io.quantize import quantize_int4
+
+        base_params, _, _ = quantize_int4(base_params, consume=True)
+    elif quant in ("int8", "int8_dynamic"):
+        from foley_tpu.io.quantize import quantize_int8
+
+        base_params, _, _ = quantize_int8(base_params, dynamic=quant == "int8_dynamic",
+                                          on_host=True, consume=True)
+    elif quant:
+        raise SystemExit(f"unknown quant mode {quant!r}")
     text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
     clip_feat, sync_feat = t2a_features(base_params, cfg, 5.0, batch_size=1)
     features = prepare_cfg_features(base_params, text, text, clip_feat, sync_feat,
@@ -84,12 +99,12 @@ def main():
                 run(i + 1)
                 walls.append(time.perf_counter() - t0)
             walls.sort()
-            emit(measure=f"blockswap_{swap}_w{window}_step_ms",
+            emit(measure=f"blockswap{'_' + quant if quant else ''}_{swap}_w{window}_step_ms",
                  value=round(1e3 * walls[len(walls) // 2] / steps, 2),
                  host_resident_gib=round(offloaded_bytes(params) / 2**30, 2),
                  compile_s=round(compile_s, 1))
         except Exception as e:
-            emit(measure=f"blockswap_{swap}_w{window}_step_ms",
+            emit(measure=f"blockswap{'_' + quant if quant else ''}_{swap}_w{window}_step_ms",
                  error=f"{type(e).__name__}: {e}"[:300])
     return 0
 

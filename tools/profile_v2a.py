@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--duration", type=float, default=5.0)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frame_rate", type=float, default=24.0)
+    ap.add_argument("--frame_hw", type=str, default="360x640",
+                    help="source frame resolution HxW (e.g. 1080x1920 to exercise the "
+                         "host box-downsample upload path, io/images.py)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--preprocess", default="device", choices=["device", "pil"])
     ap.add_argument("--overlap", action="store_true",
@@ -86,7 +89,8 @@ def main():
     # synthetic clip at the requested frame rate (decode is out of scope — file IO, not TPU)
     rng = np.random.default_rng(0)
     n_frames = int(round(args.duration * args.frame_rate))
-    frames = rng.random((n_frames, 360, 640, 3), dtype=np.float32)
+    fh, fw = (int(x) for x in args.frame_hw.split("x"))
+    frames = rng.random((n_frames, fh, fw, 3), dtype=np.float32)
     text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
 
     def one_pass():
@@ -160,7 +164,14 @@ def main():
         peak = 197e12
         f8 = resample_frames(frames, args.frame_rate, args.duration, cfg.siglip2_fps)
         f25 = resample_frames(frames, args.frame_rate, args.duration, cfg.synchformer_fps)
-        u8_8, u8_25 = sig_u8(f8), sync_u8(f25)
+        from foley_tpu.io.images import box_downsample_u8
+
+        raw8, raw25 = sig_u8(f8), sync_u8(f25)
+        t0 = time.perf_counter()
+        u8_8 = box_downsample_u8(raw8, sig.cfg.image_size)
+        u8_25 = box_downsample_u8(raw25, sync.cfg.img_size)
+        med["downsample_s"] = round(time.perf_counter() - t0, 4)
+        med["h2d_mb_raw"] = round((raw8.nbytes + raw25.nbytes) / 1e6, 1)
 
         def h2d(x):
             t0 = time.perf_counter()
