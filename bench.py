@@ -81,6 +81,63 @@ def run_once(config_name: str, duration_s: float, steps: int, batch_size: int,
     return walls[len(walls) // 2], result
 
 
+def run_v2a_once(config_name: str, duration_s: float, steps: int):
+    """End-to-end VIDEO->audio wall (the north star's named pipeline): encode synthetic
+    24 fps frames with REAL-geometry encoders (SigLIP2-base 512^2, Synchformer ViT-B,
+    device preprocessing, upload/compute overlap — the production ``_encode_video``
+    schedule) + the same denoise/decode the T2A bench times. Includes the host->device
+    frame transfer; on tunneled runtimes that transfer dominates (phase split + MFU:
+    ROADMAP round-5 V2A bench / tools/profile_v2a.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from foley_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from foley_tpu.api.nodes import HunyuanFoleySampler, HunyuanModelLoader
+    from foley_tpu.configs import get_config
+    from foley_tpu.models import dac_vae, siglip2, synchformer
+    from foley_tpu.pipeline.generate import ModelBundle, generate_audio
+
+    cfg = get_config(config_name)
+    foley_model = HunyuanModelLoader.init_random(config_name, "bf16", seed=0)
+    bundle = ModelBundle(
+        mmdit_params=foley_model["params"],
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), cfg.dac, dtype=jnp.float32),
+        pipeline_cfg=cfg,
+        compute_dtype=jnp.bfloat16,
+    )
+    foley_model["params"] = None
+    deps = {"siglip2": siglip2.init_random(2, cfg.model.clip_dim),
+            "synchformer": synchformer.init_random(3, cfg.model.sync_feat_dim)}
+    for enc in deps.values():
+        enc.preprocess = "device"
+        enc.compute_dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    frames = rng.random((int(duration_s * 24), 360, 640, 3), dtype=np.float32)
+    text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
+
+    def once(seed):
+        clip_feat, sync_feat = HunyuanFoleySampler._encode_video(
+            deps, frames, 24, duration_s, cfg)
+        return generate_audio(
+            bundle, text, text, duration_s, clip_feat=clip_feat, sync_feat=sync_feat,
+            guidance_scale=4.5, num_inference_steps=steps,
+            sampler="euler", batch_size=1, seed=seed,
+        )
+
+    once(0)  # compile + warm
+    walls = []
+    for i in range(3):  # ~16 s/iter on the tunnel: median of 3
+        t0 = time.perf_counter()
+        result = once(i + 1)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    return walls[len(walls) // 2], result
+
+
 def accelerator_reachable(timeout_s: int = 120, retry_budget_s: float = 1500.0) -> bool:
     """Bounded device-init probe in a subprocess, retried across a grace window.
 
@@ -125,6 +182,10 @@ def main():
     mode = "bf16"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
+    # --v2a: the video->audio pipeline end-to-end (real-geometry encoders + denoise);
+    # the headline default stays T2A — the V2A number is transfer-bound on tunneled
+    # runtimes (ROADMAP round-5 V2A bench records the phase split)
+    v2a = "--v2a" in sys.argv
     if not accelerator_reachable():
         print(json.dumps({
             "metric": "audio_sec_per_sec_per_chip", "value": 0.0,
@@ -135,10 +196,14 @@ def main():
         return 1
     for config_name in ("xxl", "xl", "tiny"):
         try:
-            elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1, mode=mode)
+            if v2a:
+                elapsed, _ = run_v2a_once(config_name, duration_s, steps)
+            else:
+                elapsed, _ = run_once(config_name, duration_s, steps, batch_size=1,
+                                      mode=mode)
             audio_sec_per_sec = duration_s / elapsed
             target_rate = 2.5  # 5 s clip in <= 2 s (BASELINE.json north star)
-            suffix = "" if mode == "bf16" else f"_{mode}"
+            suffix = ("" if mode == "bf16" else f"_{mode}") + ("_v2a" if v2a else "")
             print(json.dumps({
                 "metric": f"audio_sec_per_sec_per_chip_{config_name}_5s_50step_euler_cfg"
                           f"{suffix}",
