@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp16", "fp32"])
     p.add_argument("--quantization", type=str, default="none",
                    choices=["none", "auto", "fp8_e4m3fn", "fp8_e5m2", "int8", "int8_dynamic", "int4"])
+    p.add_argument("--blocks_to_swap", type=int, default=0,
+                   help="host-offload the LAST N transformer blocks (block swap, "
+                        "parallel/offload.py; 54 = every block off-chip). Composes with "
+                        "--quantization: int4 blocks stream 4x fewer host->HBM bytes "
+                        "(measured 232 vs 766 ms/step at N=54, ROADMAP)")
+    p.add_argument("--prefetch_blocks", type=int, default=0,
+                   help="extra offloaded-block fetches in flight (HBM window = N+1); "
+                        ">0 measured faster at small swaps but RESOURCE_EXHAUSTs at "
+                        "swap>=36 on this runtime — opt-in")
     p.add_argument("--lora", type=str, default=None, metavar="DIR",
                    help="LoRA adapter dir (training/loop.py::export_lora) merged into the "
                         "model weights at load (before any --quantization)")
@@ -168,6 +177,22 @@ def main(argv=None) -> int:
 
                 foley_model["params"] = _merge_lora_if_given(
                     foley_model["params"], args.lora, args.lora_scale)
+            if args.quantization not in ("none", "auto"):
+                # checkpoint-free quant smoke runs (the loader path quantizes in
+                # load_model; random-init must do it here or the flag silently no-ops)
+                from foley_tpu.io import quantize as quant_mod
+
+                q = args.quantization
+                if q.startswith("fp8"):
+                    foley_model["params"], _, _ = quant_mod.quantize_fp8(
+                        foley_model["params"], q)
+                elif q == "int4":
+                    foley_model["params"], _, _ = quant_mod.quantize_int4(
+                        foley_model["params"], consume=True)
+                else:
+                    foley_model["params"], _, _ = quant_mod.quantize_int8(
+                        foley_model["params"], dynamic=q == "int8_dynamic",
+                        on_host=True, consume=True)
             from foley_tpu.configs import get_config
             from foley_tpu.models import dac_vae
             import jax
@@ -236,10 +261,14 @@ def main(argv=None) -> int:
             logger.info(f"read {image.shape[0]} frames @ {fps} fps")
 
         sampler_node = HunyuanFoleySampler()
+        swap_args = ({"blocks_to_swap": args.blocks_to_swap,
+                      "prefetch_blocks": args.prefetch_blocks}
+                     if args.blocks_to_swap > 0 else None)
         t0 = time.perf_counter()
         audio_first, audio_batch = sampler_node.generate_audio(
             foley_model,
             dependencies,
+            block_swap_args=swap_args,
             frame_rate=fps,  # the source fps, so 8/25-fps feature resampling is correct
             duration=args.duration,
             prompt=args.single_prompt,
@@ -340,6 +369,16 @@ def _bundle_and_text(args, foley_model, dependencies, logger):
 
     from foley_tpu.pipeline.generate import ModelBundle
 
+    if getattr(args, "blocks_to_swap", 0) > 0:
+        from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
+
+        if host_memory_available():
+            # split stacks stream per-block inside the scan (mmdit handles the split
+            # layout directly; composes with --quantization — see ROADMAP int4 swap table)
+            foley_model["params"] = offload_block_suffix(
+                foley_model["params"], args.blocks_to_swap)
+        else:
+            logger.warning("--blocks_to_swap ignored: backend has no pinned_host memory")
     cfg = foley_model["cfg"]
     bundle = ModelBundle(
         mmdit_params=foley_model["params"],
@@ -347,6 +386,7 @@ def _bundle_and_text(args, foley_model, dependencies, logger):
         pipeline_cfg=cfg,
         compute_dtype=foley_model.get("dtype", jnp.bfloat16),
         latent_stats=foley_model.get("latent_stats"),
+        offload_prefetch=getattr(args, "prefetch_blocks", 0) + 1,
     )
     if "clap" in dependencies:
         from foley_tpu.models import clap as clap_mod

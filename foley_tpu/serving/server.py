@@ -814,7 +814,14 @@ def main(argv=None) -> int:
                         '"data=4,model=2" on a v5p-8: MMDiT shards per the Megatron '
                         "col/row rules, DAC replicates, and every request runs under the "
                         "mesh (XLA inserts the ICI collectives). Empty = single chip.")
+    p.add_argument("--blocks_to_swap", type=int, default=0,
+                   help="host-offload the LAST N transformer blocks (54 = every block "
+                        "off-chip). Composes with --quantization int4 (blocks stream 4x "
+                        "fewer host->HBM bytes: 232 vs 766 ms/step at N=54, ROADMAP); "
+                        "single-chip only (mutually exclusive with --mesh)")
     args = p.parse_args(argv)
+    if args.blocks_to_swap and args.mesh:
+        p.error("--blocks_to_swap is a single-chip memory mode; drop --mesh")
 
     # validate pure-string args BEFORE the minutes-long checkpoint load
     mesh_spec = {}
@@ -894,6 +901,18 @@ def main(argv=None) -> int:
     if video_encoders:
         for enc in video_encoders.values():
             enc.preprocess = args.v2a_preprocess
+
+    if args.blocks_to_swap > 0:
+        from foley_tpu.parallel.offload import host_memory_available, offload_block_suffix
+
+        if host_memory_available():
+            # the low-HBM serving mode: split stacks stream per-block inside the denoise
+            # scan (composes with --quantization int4 — ROADMAP int4 swap table)
+            bundle = bundle._replace(
+                mmdit_params=offload_block_suffix(bundle.mmdit_params,
+                                                  args.blocks_to_swap))
+        else:
+            logger.warning("--blocks_to_swap ignored: backend has no pinned_host memory")
 
     mesh = None
     if mesh_spec:

@@ -114,3 +114,39 @@ def test_cli_stream_pcm_rejects_v2a_continuation(capsys, tmp_path):
     ])
     assert rc == 2
     assert "text-conditioned" in capsys.readouterr().err
+
+
+def test_cli_stream_block_swap_and_quant(capsysbinary):
+    """--blocks_to_swap + --quantization int4 compose on the streaming path: the split
+    quantized stacks stream per-block inside the windowed denoise and the output is
+    sample-accurate (the low-HBM deployment mode, ROADMAP int4 swap table)."""
+    from foley_tpu.cli import main
+
+    rc = main([
+        "--random_init", "tiny", "--single_prompt", "rain", "--duration", "2",
+        "--num_inference_steps", "2", "--precision", "fp32", "--seed", "3",
+        "--stream_pcm", "--quantization", "int4", "--blocks_to_swap", "3",
+    ])
+    out = capsysbinary.readouterr().out
+    assert rc == 0
+    pcm = np.frombuffer(out, "<i2")
+    assert pcm.shape[0] == 2 * 48000
+    assert np.abs(pcm).max() > 0
+
+
+def test_cli_batch_quantized_random_init(tmp_path):
+    """--random_init + --quantization no longer silently no-ops: the batch (sampler-node)
+    path runs with int8-quantized random weights and writes a valid WAV."""
+    import wave
+
+    from foley_tpu.cli import main
+
+    out = str(tmp_path / "q.wav")
+    rc = main([
+        "--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
+        "--num_inference_steps", "2", "--precision", "fp32", "--seed", "1",
+        "--quantization", "int8", "--blocks_to_swap", "2", "--output", out,
+    ])
+    assert rc == 0
+    with wave.open(out) as f:
+        assert f.getframerate() == 48000 and f.getnframes() == 48000

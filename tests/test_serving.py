@@ -740,3 +740,39 @@ def test_live_v2a_stream_matches_wav(live_server):
                              "frames_b64": frames(2)}) as r:
         pcm_b = np.frombuffer(r.read(), "<i2")
     assert np.abs(pcm.astype(np.int32) - pcm_b.astype(np.int32)).max() > 0
+
+
+def test_serving_block_swap_flag():
+    """--blocks_to_swap: rejected with --mesh BEFORE any model load; a service whose
+    bundle carries block-swapped (split) stacks serves deterministic, finite audio
+    (numerical equivalence of the split forward is pinned in test_aux/test_mmdit)."""
+    from foley_tpu.parallel.offload import (
+        host_memory_available,
+        is_split_stack,
+        offload_block_suffix,
+    )
+    from foley_tpu.serving.server import main
+
+    with pytest.raises(SystemExit):
+        main(["--random_init", "tiny", "--blocks_to_swap", "3", "--mesh", "data=2"])
+
+    if not host_memory_available():
+        pytest.skip("no pinned_host memory kind on this backend")
+    from foley_tpu.core.params import perturb_zero_leaves
+
+    params = perturb_zero_leaves(mmdit.init(jax.random.PRNGKey(0), TINY.model),
+                                 jax.random.PRNGKey(100))
+    bundle = ModelBundle(
+        mmdit_params=offload_block_suffix(params, 3),
+        dac_params=dac_vae.init(jax.random.PRNGKey(1), TINY.dac),
+        pipeline_cfg=TINY,
+        compute_dtype=jnp.float32,
+    )
+    assert is_split_stack(bundle.mmdit_params["single_blocks"])
+    svc = FoleyService(bundle, durations=(1.0,), text_buckets=(16,), default_steps=2)
+    req = {"prompt": "clink", "duration": 1.0, "steps": 2, "seed": 3}
+    out1 = svc.generate(dict(req))
+    out2 = svc.generate(dict(req))
+    w = np.asarray(out1["waveform"])
+    assert w.shape == (1, 48000) and np.isfinite(w).all() and np.abs(w).max() > 0
+    np.testing.assert_array_equal(w, np.asarray(out2["waveform"]))
