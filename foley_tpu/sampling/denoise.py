@@ -26,6 +26,7 @@ from foley_tpu.models import mmdit
 from foley_tpu.sampling.flow_match import (
     get_sigmas,
     get_timesteps,
+    interpolant_sigma,
     solver_init,
     solver_step,
 )
@@ -157,8 +158,6 @@ def denoise_latents(
             # re-project the known prefix onto its interpolant at the sigma the sample now
             # sits at (stage-aware for multi-stage solvers: heun-2's predictor is at the
             # interval end, midpoint-2's at the midpoint, ...)
-            from foley_tpu.sampling.flow_match import interpolant_sigma
-
             sig = interpolant_sigma(solver, state, sigmas)
             clamp = (1.0 - sig) * known_latents.astype(jnp.float32) + sig * known_noise
             lat = jnp.concatenate([clamp, lat[:, known_frames:]], axis=1)

@@ -819,6 +819,10 @@ def main(argv=None) -> int:
                         "off-chip). Composes with --quantization int4 (blocks stream 4x "
                         "fewer host->HBM bytes: 232 vs 766 ms/step at N=54, ROADMAP); "
                         "single-chip only (mutually exclusive with --mesh)")
+    p.add_argument("--prefetch_blocks", type=int, default=0,
+                   help="extra offloaded-block fetches in flight (HBM window = N+1); "
+                        ">0 measured faster at small swaps but RESOURCE_EXHAUSTs at "
+                        "swap>=36 on this runtime — opt-in (same knob as the CLI's)")
     args = p.parse_args(argv)
     if args.blocks_to_swap and args.mesh:
         p.error("--blocks_to_swap is a single-chip memory mode; drop --mesh")
@@ -910,7 +914,8 @@ def main(argv=None) -> int:
             # scan (composes with --quantization int4 — ROADMAP int4 swap table)
             bundle = bundle._replace(
                 mmdit_params=offload_block_suffix(bundle.mmdit_params,
-                                                  args.blocks_to_swap))
+                                                  args.blocks_to_swap),
+                offload_prefetch=args.prefetch_blocks + 1)
         else:
             logger.warning("--blocks_to_swap ignored: backend has no pinned_host memory")
 
