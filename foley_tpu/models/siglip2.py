@@ -171,12 +171,16 @@ def _ln(p, x, eps):
     return layer_norm(x, p["weight"], p["bias"], eps=eps)
 
 
-def _mha(q, k, v, nh):
+def _mha(q, k, v, nh, impl: str = "xla"):
     b, lq, h = q.shape
     hd = h // nh
     q = q.reshape(b, lq, nh, hd)
     k = k.reshape(b, k.shape[1], nh, hd)
     v = v.reshape(b, v.shape[1], nh, hd)
+    if impl == "pallas":
+        from foley_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v).reshape(b, lq, h)
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
                         precision=prec) / (hd ** 0.5)
@@ -206,10 +210,15 @@ def _resize_pos_embed(pos: jnp.ndarray, target_grid: int) -> jnp.ndarray:
 
 
 def apply(params: Dict, images: jnp.ndarray, cfg: SiglipVisionConfig,
-          pooled: bool = True) -> jnp.ndarray:
+          pooled: bool = True, attn_impl: str = "xla") -> jnp.ndarray:
     """images: [B, H, W, C] normalized ((x-0.5)/0.5). Returns pooled [B, h] (get_image_features
     semantics) or token sequence [B, N, h]. Positional embeddings are bilinearly resized when
-    the input grid differs from the checkpoint's."""
+    the input grid differs from the checkpoint's.
+
+    ``attn_impl``: "xla" (golden-pinned reference path) or "pallas" — the fused flash kernel.
+    At the real 512^2 geometry the encoder runs 1024 tokens x 40 frames, past the measured
+    ~1k-token point where XLA's HBM-materialized fp32 score tensors dominate
+    (ops/attention.py PALLAS_FUSED_MIN_TOKENS); the MAP pooling head (1 query) stays XLA."""
     x = apply_dense(params["patch_embedding"], _patchify(images, cfg.patch_size))
     grid = images.shape[1] // cfg.patch_size
     pos = _resize_pos_embed(params["position_embedding"], grid)
@@ -220,7 +229,7 @@ def apply(params: Dict, images: jnp.ndarray, cfg: SiglipVisionConfig,
         r = x
         xn = _ln(layer["ln1"], x, eps)
         attn = _mha(apply_dense(layer["q"], xn), apply_dense(layer["k"], xn),
-                    apply_dense(layer["v"], xn), nh)
+                    apply_dense(layer["v"], xn), nh, impl=attn_impl)
         x = r + apply_dense(layer["out"], attn)
         r = x
         xn = _ln(layer["ln2"], x, eps)
@@ -276,7 +285,7 @@ def preprocess_frames_device(frames: jnp.ndarray, size: int = 512) -> jnp.ndarra
 
 class Siglip2Encoder:
     def __init__(self, params: Dict, cfg: SiglipVisionConfig, preprocess: str = "pil",
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, attn_impl: str = "auto"):
         self.params = params
         self.cfg = cfg
         self.preprocess = preprocess  # "pil" (reference parity) | "device" (TPU resize)
@@ -285,7 +294,15 @@ class Siglip2Encoder:
         # parity; bf16 runs the MXU fast path (the reference itself runs fp16 on GPU,
         # nodes.py dtype selection) — measured in tools/profile_v2a.py --encoder_dtype.
         self.compute_dtype = compute_dtype
-        self._apply = jax.jit(apply, static_argnames=("cfg", "pooled"))
+        # "auto": flash kernel once the token count crosses the measured ~1k threshold
+        # (512^2 / patch 16 = 1024 tokens) on TPU; "xla" elsewhere (CPU tests, tiny grids).
+        if attn_impl == "auto":
+            from foley_tpu.ops.attention import resolve_attn_impl
+
+            tokens = (cfg.image_size // cfg.patch_size) ** 2
+            attn_impl = "pallas" if resolve_attn_impl("auto", tokens) != "xla" else "xla"
+        self.attn_impl = attn_impl
+        self._apply = jax.jit(apply, static_argnames=("cfg", "pooled", "attn_impl"))
 
     def encode(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, C] float [0,1] frames -> [1, T, hidden] sequence of pooled features."""
@@ -300,7 +317,7 @@ class Siglip2Encoder:
         else:
             pixels = jnp.asarray(preprocess_frames(frames, self.cfg.image_size))
         feats = self._apply(self.params, pixels.astype(self.compute_dtype), self.cfg,
-                            pooled=True)  # [T, h]
+                            pooled=True, attn_impl=self.attn_impl)  # [T, h]
         return feats[None].astype(jnp.float32)
 
 

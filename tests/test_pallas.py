@@ -98,3 +98,37 @@ def test_full_forward_pallas_fused_matches_xla(monkeypatch):
     bb = mmdit.apply(params, *args, cfg, attn_impl="pallas_fused")
     assert float(jnp.std(a)) > 0.1  # signal actually flows
     np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=1e-5, rtol=1e-4)
+
+
+def test_siglip2_pallas_attention_matches_xla(monkeypatch):
+    """SigLIP2 encoder attn_impl='pallas' (the >=1k-token real-geometry dispatch) == xla."""
+    import functools
+
+    import foley_tpu.ops.pallas.flash_attention as FL
+    from foley_tpu.models import siglip2
+
+    monkeypatch.setattr(
+        siglip2, "_mha",
+        functools.partial(_siglip_mha_interpret, orig=siglip2._mha), raising=True)
+    cfg = siglip2.SiglipVisionConfig(
+        hidden_size=128, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8)
+    params = siglip2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32))
+    ref = siglip2.apply(params, images, cfg, pooled=True, attn_impl="xla")
+    got = siglip2.apply(params, images, cfg, pooled=True, attn_impl="pallas")
+    assert float(jnp.std(ref)) > 1e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def _siglip_mha_interpret(q, k, v, nh, impl="xla", orig=None):
+    if impl != "pallas":
+        return orig(q, k, v, nh, impl=impl)
+    from foley_tpu.ops.pallas.flash_attention import flash_attention
+
+    b, lq, h = q.shape
+    hd = h // nh
+    out = flash_attention(q.reshape(b, lq, nh, hd), k.reshape(b, k.shape[1], nh, hd),
+                          v.reshape(b, v.shape[1], nh, hd), interpret=True)
+    return out.reshape(b, lq, h)
