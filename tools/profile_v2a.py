@@ -194,8 +194,11 @@ def main():
         segs = jax.block_until_ready(
             segs.reshape(1, num, 16, *dev25.shape[1:])).astype(enc_dtype)
 
-        def bench_compute(fn, *a, **kw):
-            lowered = fn.lower(*a, **kw)
+        def bench_compute(fn, *a, flops_kw=None, **kw):
+            # FLOPs always from the XLA lowering (flops_kw overrides kw for it): pallas
+            # custom-calls are opaque to cost_analysis, which would deflate the MFU
+            # numerator under the round-4 single-definition rule.
+            lowered = fn.lower(*a, **{**kw, **(flops_kw or {})})
             cost = lowered.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
@@ -209,9 +212,12 @@ def main():
             w = float(np.median(times))
             return w, flops, (flops / (w * peak) if flops else 0.0)
 
-        w, fl, mfu = bench_compute(sig._apply, sig.params, pix8, sig.cfg, pooled=True)
+        # measure the production dispatch (attn_impl="auto" -> pallas flash on TPU at the
+        # real 1024-token geometry; tools/probe_siglip_attn.py has the xla-vs-pallas A/B)
+        w, fl, mfu = bench_compute(sig._apply, sig.params, pix8, sig.cfg, pooled=True,
+                                   attn_impl=sig.attn_impl, flops_kw={"attn_impl": "xla"})
         med.update(siglip2_compute_s=round(w, 4), siglip2_gflops=round(fl / 1e9, 1),
-                   siglip2_mfu=round(mfu, 3))
+                   siglip2_mfu=round(mfu, 3), siglip2_attn_impl=sig.attn_impl)
         w, fl, mfu = bench_compute(sync._apply, sync.params, segs, sync.cfg)
         med.update(sync_compute_s=round(w, 4), sync_gflops=round(fl / 1e9, 1),
                    sync_mfu=round(mfu, 3))
