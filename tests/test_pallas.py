@@ -122,6 +122,15 @@ def test_siglip2_pallas_attention_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_siglip2_auto_resolves_xla_off_tpu():
+    """attn_impl='auto' must fall back to xla on CPU even at the real 1024-token geometry
+    (pallas kernels are TPU-only; the threshold dispatch is platform-gated)."""
+    from foley_tpu.models import siglip2
+
+    enc = siglip2.Siglip2Encoder({}, siglip2.SiglipVisionConfig(), attn_impl="auto")
+    assert enc.attn_impl == "xla"
+
+
 def _siglip_mha_interpret(q, k, v, nh, impl="xla", orig=None):
     if impl != "pallas":
         return orig(q, k, v, nh, impl=impl)

@@ -29,7 +29,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--block_q", type=int, default=0,
+                    help="override flash_attention.BLOCK_Q (q-tile size) for tuning runs")
     args = ap.parse_args()
+
+    if args.block_q:
+        from foley_tpu.ops.pallas import flash_attention as FL
+
+        FL.BLOCK_Q = args.block_q
 
     from foley_tpu.models import siglip2
 
