@@ -29,13 +29,15 @@ import numpy as np
 
 def _time(fn, iters):
     y = jax.block_until_ready(fn())  # compile + warm
+    np.asarray(jax.tree_util.tree_leaves(y)[0][..., :1])
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         y = fn()
-        jax.block_until_ready(y)
+        # host materialization EVERY iteration: block_until_ready alone under-reports
+        # through the tunnel (DEVELOPMENT.md / CLAUDE.md timing gotcha)
+        np.asarray(jax.tree_util.tree_leaves(y)[0][..., :1])
         ts.append(time.perf_counter() - t0)
-    np.asarray(jax.tree_util.tree_leaves(y)[0][..., :1])  # host materialization
     return float(np.median(ts))
 
 
