@@ -123,6 +123,10 @@ def main(argv=None) -> int:
 
     logger = get_logger()
 
+    if args.prefetch_blocks and not args.blocks_to_swap:
+        print("error: --prefetch_blocks only applies with --blocks_to_swap > 0",
+              file=sys.stderr)
+        return 2
     if args.stream_pcm and (args.audio_input or args.csv_path
                             or args.desync_score or args.gradio):
         print("error: --stream_pcm supports prompt (T2A), --single_video (V2A) and "

@@ -826,6 +826,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.blocks_to_swap and args.mesh:
         p.error("--blocks_to_swap is a single-chip memory mode; drop --mesh")
+    if args.prefetch_blocks and not args.blocks_to_swap:
+        p.error("--prefetch_blocks only applies with --blocks_to_swap > 0")
 
     # validate pure-string args BEFORE the minutes-long checkpoint load
     mesh_spec = {}

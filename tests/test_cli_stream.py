@@ -134,6 +134,17 @@ def test_cli_stream_block_swap_and_quant(capsysbinary):
     assert np.abs(pcm).max() > 0
 
 
+def test_cli_prefetch_requires_swap(capsys):
+    """--prefetch_blocks without --blocks_to_swap errors loudly (it would otherwise be
+    silently ignored — the swap_args dict is only built when blocks_to_swap > 0)."""
+    from foley_tpu.cli import main
+
+    rc = main(["--random_init", "tiny", "--single_prompt", "x", "--duration", "1",
+               "--prefetch_blocks", "1"])
+    assert rc == 2
+    assert "--blocks_to_swap" in capsys.readouterr().err
+
+
 def test_cli_batch_quantized_random_init(tmp_path):
     """--random_init + --quantization no longer silently no-ops: the batch (sampler-node)
     path runs with int8-quantized random weights and writes a valid WAV."""

@@ -755,6 +755,8 @@ def test_serving_block_swap_flag():
 
     with pytest.raises(SystemExit):
         main(["--random_init", "tiny", "--blocks_to_swap", "3", "--mesh", "data=2"])
+    with pytest.raises(SystemExit):  # --prefetch_blocks only applies with swap > 0
+        main(["--random_init", "tiny", "--prefetch_blocks", "1"])
 
     if not host_memory_available():
         pytest.skip("no pinned_host memory kind on this backend")
