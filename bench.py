@@ -186,6 +186,12 @@ def main():
     # the headline default stays T2A — the V2A number is transfer-bound on tunneled
     # runtimes (ROADMAP round-5 V2A bench records the phase split)
     v2a = "--v2a" in sys.argv
+    if v2a and mode != "bf16":
+        # run_v2a_once always builds a bf16 bundle; a quantized label on a bf16
+        # measurement would corrupt the perf tables
+        print("error: --v2a does not support --mode (V2A measures the bf16 bundle)",
+              file=sys.stderr)
+        return 2
     if not accelerator_reachable():
         print(json.dumps({
             "metric": "audio_sec_per_sec_per_chip", "value": 0.0,

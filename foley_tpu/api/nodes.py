@@ -32,7 +32,7 @@ from foley_tpu.io.convert import (
     detect_ckpt_major_precision,
     load_torch_state_dict,
 )
-from foley_tpu.io.quantize import quantize_fp8
+from foley_tpu.io.quantize import quantize_params
 from foley_tpu.models import mmdit
 from foley_tpu.pipeline.generate import ModelBundle, generate_audio, select_audio_from_batch
 from foley_tpu.utils.logging import get_logger
@@ -112,21 +112,11 @@ class HunyuanModelLoader:
             qmode = quantization
             if qmode == "auto":
                 qmode = ckpt_fp8 or "fp8_e4m3fn"
-            if qmode.startswith("int8"):
-                from foley_tpu.io.quantize import quantize_int8
-
-                # int8_dynamic additionally runs dense matmuls on the native int8 MXU
-                # (per-token activation quant) — an opt-in throughput mode beyond the
-                # reference's storage-only quantization.
-                params, counts, saved = quantize_int8(params, dynamic=qmode == "int8_dynamic")
-            elif qmode == "int4":
-                from foley_tpu.io.quantize import quantize_int4
-
-                # 4-bit group-wise storage: quarter of the bf16 weight bytes (the measured
-                # batch-1 step-time bound); dequant-at-use like int8.
-                params, counts, saved = quantize_int4(params)
-            else:
-                params, counts, saved = quantize_fp8(params, qmode)
+            # int8_dynamic additionally runs dense matmuls on the native int8 MXU
+            # (per-token activation quant) — an opt-in throughput mode beyond the
+            # reference's storage-only quantization. int4 is 4-bit group-wise storage:
+            # quarter of the bf16 weight bytes (the measured batch-1 step-time bound).
+            params, counts, saved = quantize_params(params, qmode)
             logger.info(
                 f"{qmode} wrap: {counts['quantized']} weights quantized, "
                 f"{saved / 2**30:.2f} GiB saved"
@@ -157,12 +147,7 @@ class HunyuanModelLoader:
         params = _merge_lora_if_given(params, lora_path, lora_scale)
         if quantization != "none":
             qmode = "fp8_e4m3fn" if quantization == "auto" else quantization
-            if qmode.startswith("int8"):
-                from foley_tpu.io.quantize import quantize_int8
-
-                params, counts, saved = quantize_int8(params, dynamic=qmode == "int8_dynamic")
-            else:
-                params, counts, saved = quantize_fp8(params, qmode)
+            params, counts, saved = quantize_params(params, qmode)
             logger.info(f"{qmode} wrap: {counts['quantized']} weights, {saved / 2**30:.2f} GiB saved")
         logger.info(f"MMDiT loaded from orbax: {param_bytes(params) / 2**30:.2f} GiB ({precision})")
         out = {"params": params, "cfg": cfg, "dtype": dtype}

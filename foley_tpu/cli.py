@@ -149,6 +149,10 @@ def main(argv=None) -> int:
                       "--warmup_steps", str(args.num_inference_steps),
                       "--max_batch", str(args.max_batch),
                       "--v2a_preprocess", args.v2a_preprocess]
+        if args.blocks_to_swap:
+            serve_argv += ["--blocks_to_swap", str(args.blocks_to_swap)]
+            if args.prefetch_blocks:
+                serve_argv += ["--prefetch_blocks", str(args.prefetch_blocks)]
         if args.mesh:
             serve_argv += ["--mesh", args.mesh]
         if args.lora:
@@ -184,19 +188,11 @@ def main(argv=None) -> int:
             if args.quantization not in ("none", "auto"):
                 # checkpoint-free quant smoke runs (the loader path quantizes in
                 # load_model; random-init must do it here or the flag silently no-ops)
-                from foley_tpu.io import quantize as quant_mod
+                from foley_tpu.io.quantize import quantize_params
 
-                q = args.quantization
-                if q.startswith("fp8"):
-                    foley_model["params"], _, _ = quant_mod.quantize_fp8(
-                        foley_model["params"], q)
-                elif q == "int4":
-                    foley_model["params"], _, _ = quant_mod.quantize_int4(
-                        foley_model["params"], consume=True)
-                else:
-                    foley_model["params"], _, _ = quant_mod.quantize_int8(
-                        foley_model["params"], dynamic=q == "int8_dynamic",
-                        on_host=True, consume=True)
+                foley_model["params"], _, _ = quantize_params(
+                    foley_model["params"], args.quantization,
+                    on_host=True, consume=True)
             from foley_tpu.configs import get_config
             from foley_tpu.models import dac_vae
             import jax
@@ -434,10 +430,7 @@ def _stream_pcm(args, foley_model, dependencies, logger, out=None) -> int:
         generate_audio_long_stream,
     )
 
-    if args.audio_input or args.csv_path:
-        print("error: --stream_pcm supports prompt (T2A), --single_video (V2A) and "
-              "--continue_audio runs", file=sys.stderr)
-        return 1
+    # incompatible-flag combinations are rejected in main() before any model load
     bundle, text, uncond = _bundle_and_text(args, foley_model, dependencies, logger)
     window_s = default_window_s(bundle.pipeline_cfg)
     common = dict(

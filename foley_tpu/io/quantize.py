@@ -189,3 +189,28 @@ def quantize_fp8(
         out[path] = leaf.astype(qdtype)
         counts["quantized"] += 1
     return unflatten_params(out), counts, saved
+
+
+def quantize_params(
+    params: Dict,
+    mode: str,
+    *,
+    on_host: bool = False,
+    consume: bool = False,
+) -> Tuple[Dict, Dict[str, int], int]:
+    """THE storage-mode dispatch: fp8_e4m3fn / fp8_e5m2 / int8 / int8_dynamic / int4.
+
+    Every entrypoint (model loaders, CLI random-init, profilers) goes through here so the
+    per-mode kwargs (consume/on_host semantics, dynamic marker) cannot drift between
+    sites. ``on_host``/``consume`` are honored where the mode supports them (int4's math
+    is always host-side; fp8's lazy astype needs neither). Returns
+    ``(params, counts, bytes_saved)`` like the per-mode functions."""
+    if mode.startswith("fp8"):
+        return quantize_fp8(params, mode)
+    if mode == "int4":
+        return quantize_int4(params, consume=consume)
+    if mode in ("int8", "int8_dynamic"):
+        return quantize_int8(params, dynamic=mode == "int8_dynamic",
+                             on_host=on_host, consume=consume)
+    raise ValueError(f"unknown quantization mode {mode!r}; known: "
+                     "fp8_e4m3fn, fp8_e5m2, int8, int8_dynamic, int4")

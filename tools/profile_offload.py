@@ -36,17 +36,11 @@ def main():
     # stacks stream proportionally fewer host->HBM bytes per step — int4 quarters them
     # (composition proven in test_aux::test_block_swap_composes_with_quantized_storage)
     quant = sys.argv[1] if len(sys.argv) > 1 else ""
-    if quant == "int4":
-        from foley_tpu.io.quantize import quantize_int4
+    if quant:
+        from foley_tpu.io.quantize import quantize_params
 
-        base_params, _, _ = quantize_int4(base_params, consume=True)
-    elif quant in ("int8", "int8_dynamic"):
-        from foley_tpu.io.quantize import quantize_int8
-
-        base_params, _, _ = quantize_int8(base_params, dynamic=quant == "int8_dynamic",
-                                          on_host=True, consume=True)
-    elif quant:
-        raise SystemExit(f"unknown quant mode {quant!r}")
+        base_params, _, _ = quantize_params(base_params, quant,
+                                            on_host=True, consume=True)
     text = jnp.zeros((1, 77, cfg.model.condition_dim), jnp.float32)
     clip_feat, sync_feat = t2a_features(base_params, cfg, 5.0, batch_size=1)
     features = prepare_cfg_features(base_params, text, text, clip_feat, sync_feat,
